@@ -1,0 +1,144 @@
+import os
+
+import numpy as np
+import pytest
+
+from mopa_tpu.common.config import CfgNode as CN, purge_cfg
+from mopa_tpu.common.metric_logger import AverageMeter, MetricLogger, iou_to_excel
+from mopa_tpu.common.sampler import IterationBasedBatchSampler
+from mopa_tpu.common.checkpoint import CheckpointerV2
+
+
+def test_cfg_merge_and_tuple_coercion(tmp_path):
+    from mopa_tpu.config.xmuda import cfg
+
+    c = cfg.clone()
+    yaml_text = """
+MODEL_2D:
+  TYPE: "UNetResNet34"
+  NUM_CLASSES: 10
+SCHEDULER:
+  TYPE: "MultiStepLR"
+  MultiStepLR:
+    milestones: (80000, 90000)
+  MAX_ITERATION: 100000
+DATASET_SOURCE:
+  TYPE: "A2D2SCN"
+  TRAIN: ("train",)
+TRAIN:
+  CLASS_WEIGHTS: [1.0, 2.0]
+"""
+    p = tmp_path / "exp.yaml"
+    p.write_text(yaml_text)
+    c.merge_from_file(str(p))
+    assert c.MODEL_2D.NUM_CLASSES == 10
+    assert c.SCHEDULER.MultiStepLR.milestones == (80000, 90000)
+    assert c.DATASET_SOURCE.TRAIN == ("train",)
+    assert c.TRAIN.CLASS_WEIGHTS == [1.0, 2.0]
+
+    c.merge_from_list(["TRAIN.BATCH_SIZE", "8", "MODEL_3D.TYPE", "SCN"])
+    assert c.TRAIN.BATCH_SIZE == 8
+    assert c.MODEL_3D.TYPE == "SCN"
+
+    c.freeze()
+    with pytest.raises(AttributeError):
+        c.TRAIN.BATCH_SIZE = 2
+
+    c.defrost()
+    purge_cfg(c)
+    # sibling model cfgs not matching TYPE are pruned
+    assert "DeepLabV3" not in c.MODEL_2D
+    assert "UNetResNet34" in c.MODEL_2D
+    assert "SPVCNN" not in c.MODEL_3D
+
+
+def test_cfg_rejects_unknown_key(tmp_path):
+    from mopa_tpu.config.xmuda import cfg
+
+    c = cfg.clone()
+    p = tmp_path / "bad.yaml"
+    p.write_text("NOT_A_KEY: 3\n")
+    with pytest.raises(KeyError):
+        c.merge_from_file(str(p))
+
+
+def test_reference_style_configs_load():
+    from mopa_tpu.config.xmuda import cfg
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    n = 0
+    for root, _, files in os.walk(cfg_dir):
+        for fn in files:
+            if fn.endswith(".yaml"):
+                c = cfg.clone()
+                c.merge_from_file(os.path.join(root, fn))
+                n += 1
+    assert n >= 15
+
+
+def test_average_meter_window():
+    m = AverageMeter(window_size=3)
+    for v in [1, 2, 3, 4]:
+        m.update(v)
+    assert m.avg == pytest.approx((2 + 3 + 4) / 3)
+    assert m.global_avg == pytest.approx(10 / 4)
+
+
+def test_metric_logger_accepts_arrays():
+    import jax.numpy as jnp
+
+    ml = MetricLogger(delimiter="  ")
+    ml.update(loss=np.float32(2.0), acc=jnp.asarray(0.5))
+    assert ml.meters["loss"].global_avg == pytest.approx(2.0)
+    assert "loss" in str(ml)
+    ml.remove("loss")
+    assert "loss" not in ml.meters
+
+
+def test_iteration_sampler_resume():
+    s_full = IterationBasedBatchSampler(10, 2, num_iterations=8, start_iter=0, seed=3)
+    batches = [b.tolist() for b in s_full]
+    assert len(batches) == 8
+    s_resume = IterationBasedBatchSampler(10, 2, num_iterations=8, start_iter=5, seed=3)
+    resumed = [b.tolist() for b in s_resume]
+    assert resumed == batches[5:]
+
+
+class _DictState:
+    def __init__(self):
+        self.d = {"model": {"w": np.arange(4, dtype=np.float32)}}
+
+    def state_dict(self):
+        return self.d
+
+    def load_state_dict(self, ckpt, resume_states=True):
+        self.d = {"model": ckpt["model"]}
+        return {k: v for k, v in ckpt.items() if k not in ("model",)}
+
+
+def test_checkpointer_ring_and_resume(tmp_path):
+    sp = _DictState()
+    ck = CheckpointerV2(sp, save_dir=str(tmp_path), postfix="_2d", max_to_keep=2)
+    ck.save("model_000001", iteration=1)
+    ck.save("model_000002", iteration=2)
+    ck.save("model_000003", iteration=3)
+    files = sorted(os.listdir(tmp_path))
+    assert "model_000001.pth" not in files  # evicted by ring
+    assert "model_000003.pth" in files
+
+    sp2 = _DictState()
+    sp2.d["model"]["w"] = np.zeros(4, dtype=np.float32)
+    ck2 = CheckpointerV2(sp2, save_dir=str(tmp_path), postfix="_2d", max_to_keep=2)
+    extra = ck2.load(resume=True)
+    assert extra.get("iteration") == 3
+    np.testing.assert_array_equal(sp2.d["model"]["w"], np.arange(4, dtype=np.float32))
+
+
+def test_iou_to_excel_csv(tmp_path):
+    class FakeEval:
+        class_names = ("car", "road")
+        class_iou = [0.5, float("nan")]
+        overall_iou = 0.25
+
+    out = iou_to_excel({"2D": FakeEval()}, str(tmp_path / "t.xlsx"), ["2D"])
+    assert out.endswith(".csv") and os.path.exists(out)
