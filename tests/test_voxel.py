@@ -1,0 +1,145 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mopa_tpu.ops import voxel
+
+
+def np_voxelize(coords, batch_idx, valid):
+    """Golden numpy reference: unique (b,x,y,z) in lexicographic order."""
+    keys = np.stack(
+        [batch_idx[valid], coords[valid, 0], coords[valid, 1], coords[valid, 2]], axis=1
+    )
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    return uniq, inv
+
+
+def random_cloud(rng, n, batch=2, scale=64, n_pad=7):
+    coords = rng.integers(0, scale, size=(n, 3)).astype(np.int32)
+    batch_idx = rng.integers(0, batch, size=(n,)).astype(np.int32)
+    valid = np.ones(n, bool)
+    if n_pad:
+        coords = np.concatenate([coords, np.zeros((n_pad, 3), np.int32)])
+        batch_idx = np.concatenate([batch_idx, np.zeros(n_pad, np.int32)])
+        valid = np.concatenate([valid, np.zeros(n_pad, bool)])
+    return coords, batch_idx, valid
+
+
+def test_voxelize_matches_numpy_unique():
+    rng = np.random.default_rng(0)
+    coords, batch_idx, valid = random_cloud(rng, 500, batch=3, scale=16)
+    table, inverse, counts = jax.jit(voxel.voxelize)(coords, batch_idx, valid)
+    t_batch, t_coords, inverse, counts = map(np.asarray, (table.batch, table.coords, inverse, counts))
+
+    uniq, np_inv = np_voxelize(coords, batch_idx, valid)
+    num = int(table.num)
+    assert num == uniq.shape[0]
+
+    got = np.concatenate([t_batch[:num][:, None], t_coords[:num]], axis=1)
+    np.testing.assert_array_equal(got, uniq)
+
+    # inverse map consistency: every valid point maps to its own voxel coords
+    inv = inverse
+    assert np.all(inv[valid] >= 0)
+    assert np.all(inv[~valid] == -1)
+    np.testing.assert_array_equal(t_coords[inv[valid]], coords[valid])
+    np.testing.assert_array_equal(t_batch[inv[valid]], batch_idx[valid])
+
+    # counts
+    np_counts = np.bincount(np_inv, minlength=num)
+    np.testing.assert_array_equal(counts[:num], np_counts)
+    assert int(counts[num:].sum()) == 0
+
+
+def test_mean_pooling_and_unpool():
+    coords = np.array([[1, 1, 1], [1, 1, 1], [2, 2, 2], [0, 0, 0]], np.int32)
+    batch_idx = np.zeros(4, np.int32)
+    valid = np.array([True, True, True, False])
+    feats = np.array([[2.0], [4.0], [10.0], [99.0]], np.float32)
+    @jax.jit
+    def run(feats):
+        table, inverse, counts = voxel.voxelize(coords, batch_idx, valid)
+        pooled = voxel.pool_features(feats, inverse, counts, table.capacity)
+        return table.num, pooled, voxel.unpool_features(pooled, inverse)
+
+    num, pooled, unpooled = run(jnp.asarray(feats))
+    pooled, unpooled = np.asarray(pooled), np.asarray(unpooled)
+    assert int(num) == 2
+    # voxel order is lexicographic: (1,1,1) then (2,2,2)
+    np.testing.assert_allclose(pooled[:2, 0], [3.0, 10.0])
+    # padding point contributed nothing
+    np.testing.assert_allclose(unpooled[:, 0], [3.0, 3.0, 10.0, 0.0])
+
+
+def test_lookup_hits_and_misses():
+    rng = np.random.default_rng(1)
+    coords, batch_idx, valid = random_cloud(rng, 300, batch=2, scale=32)
+    @jax.jit
+    def run():
+        table, _, _ = voxel.voxelize(coords, batch_idx, valid)
+        # every stored voxel must be found at its own slot (full-capacity query;
+        # padding slots are invalid queries)
+        q = voxel.lookup(table, table.coords, table.batch, table.valid_mask())
+        miss_coords = jnp.full((5, 3), 1000, jnp.int32)
+        q2 = voxel.lookup(table, miss_coords, jnp.zeros(5, jnp.int32), jnp.ones(5, bool))
+        q3 = voxel.lookup(table, jnp.array([[-1, 0, 0]], jnp.int32),
+                          jnp.zeros(1, jnp.int32), jnp.ones(1, bool))
+        q4 = voxel.lookup(table, table.coords[:1], table.batch[:1], jnp.zeros(1, bool))
+        return table.num, q, q2, q3, q4
+
+    num, q, q2, q3, q4 = map(np.asarray, run())
+    num = int(num)
+    np.testing.assert_array_equal(q[:num], np.arange(num))
+    assert np.all(q[num:] == -1)
+    assert np.all(q2 == -1)
+    assert int(q3[0]) == -1
+    assert int(q4[0]) == -1
+
+
+def test_downsample_coords():
+    coords = np.array([[0, 0, 0], [1, 1, 1], [2, 2, 2], [3, 3, 3]], np.int32)
+    batch_idx = np.zeros(4, np.int32)
+    valid = np.ones(4, bool)
+    @jax.jit
+    def run():
+        table, _, _ = voxel.voxelize(coords, batch_idx, valid)
+        return voxel.downsample_coords(table, capacity=4)
+
+    ctable, p2c = run()
+    assert int(ctable.num) == 2
+    np.testing.assert_array_equal(np.asarray(ctable.coords)[:2], [[0, 0, 0], [1, 1, 1]])
+    np.testing.assert_array_equal(np.asarray(p2c)[:4], [0, 0, 1, 1])
+
+
+def test_voxelize_empty():
+    coords = np.zeros((8, 3), np.int32)
+    @jax.jit
+    def run():
+        table, inverse, counts = voxel.voxelize(coords, jnp.zeros(8, jnp.int32),
+                                                jnp.zeros(8, bool))
+        # lookup into an empty table must not crash or false-hit
+        q = voxel.lookup(table, coords[:2], jnp.zeros(2, jnp.int32), jnp.ones(2, bool))
+        return table.num, inverse, counts, q
+
+    num, inverse, counts, q = map(np.asarray, run())
+    assert int(num) == 0
+    assert np.all(inverse == -1)
+    assert int(counts.sum()) == 0
+    assert np.all(q == -1)
+
+
+def test_voxelize_under_jit_and_grad_through_pooling():
+    rng = np.random.default_rng(2)
+    coords, batch_idx, valid = random_cloud(rng, 100, scale=8)
+    feats = rng.normal(size=(coords.shape[0], 4)).astype(np.float32)
+
+    def f(feats):
+        table, inverse, counts = voxel.voxelize(coords, batch_idx, valid)
+        pooled = voxel.pool_features(feats, inverse, counts, table.capacity)
+        return jnp.sum(voxel.unpool_features(pooled, inverse) ** 2)
+
+    g = jax.jit(jax.grad(f))(feats)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # padding rows receive zero grad
+    assert np.allclose(np.asarray(g)[~valid], 0.0)
