@@ -1,0 +1,196 @@
+"""3D submanifold sparse-conv UNet, TPU-native.
+
+Re-design of the reference 3D backbone (``mopa/models/scn_unet.py:9-34``):
+``scn.InputLayer(3, full_scale, mode=4)`` → ``scn.SubmanifoldConvolution(1, m,
+3)`` → ``scn.UNet(3, block_reps=1, planes=[m, 2m, ..., 7m])`` →
+``scn.BatchNormReLU(m)`` → ``scn.OutputLayer(3)``.
+
+The recursive ``scn.UNet`` layer graph (VGG-style, reps=1, non-residual) is::
+
+    U(l):  BNLeakyReLU(p_l) -> SubConv(p_l -> p_l)                 # block
+           if l+1 < L:
+               skip = x
+               BNLeakyReLU(p_l)   -> Convolution(p_l -> p_{l+1}, k2 s2)
+               U(l+1)
+               BNLeakyReLU(p_{l+1}) -> Deconvolution(p_{l+1} -> p_l, k2 s2)
+               x = concat([skip, up])
+               BNLeakyReLU(2 p_l) -> SubConv(2 p_l -> p_l)          # fuse
+
+All irregular structure (voxel tables, neighbour maps, down/up maps) is
+precomputed once per batch into a :class:`UNetPlan` — a pure function of the
+input coordinates — and shared by the forward *and* backward pass. The flax
+module then runs only gather-GEMM-scatter compute with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mopa_tpu.ops import sparse_conv as sc
+from mopa_tpu.ops import voxel as voxel_ops
+
+
+class LevelPlan(NamedTuple):
+    nbr: jax.Array          # (V_l, 27) submanifold neighbour map
+    valid: jax.Array        # (V_l,) active-slot mask
+    # transition from the previous (finer) level; level 0 holds point maps
+    down_nbr: jax.Array | None   # (V_l, 8) coarse->fine gather map (None at l=0)
+    f2c: jax.Array | None        # (V_{l-1},) fine->coarse map (None at l=0)
+    up_off: jax.Array | None     # (V_{l-1},) kernel-offset idx for deconv
+
+
+class UNetPlan(NamedTuple):
+    levels: tuple
+    point_inverse: jax.Array   # (N,) point -> level-0 slot (-1 padding)
+    point_counts: jax.Array    # (V_0,)
+    num_voxels: jax.Array      # (L,) active voxel counts, diagnostics/overflow
+
+
+def capacity_schedule(n_points: int, num_levels: int,
+                      shrink: float = 0.5, floor: int = 512) -> List[int]:
+    """Static per-level voxel capacities. Level 0 is overflow-free (<= points);
+    deeper levels shrink geometrically — real scans collapse much faster than
+    2x per level, overflow is counted in ``UNetPlan.num_voxels`` vs capacity."""
+    caps = []
+    c = n_points
+    for _ in range(num_levels):
+        caps.append(max(int(c), floor))
+        c = int(c * shrink)
+    return caps
+
+
+def build_unet_plan(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
+                    num_levels: int, capacities: Sequence[int] | None = None) -> UNetPlan:
+    """Build all tables and maps for one batch. jit-compatible, int32 only."""
+    n = coords.shape[0]
+    if capacities is None:
+        capacities = capacity_schedule(n, num_levels)
+    table, inverse, counts = voxel_ops.voxelize(coords, batch_idx, valid,
+                                                capacities[0])
+    levels = []
+    nums = []
+    prev = table
+    pending = (None, None, None)  # (down_nbr, f2c, up_off) feeding this level
+    for l in range(num_levels):
+        nums.append(prev.num)
+        levels.append(
+            LevelPlan(nbr=sc.build_submanifold_plan(prev), valid=prev.valid_mask(),
+                      down_nbr=pending[0], f2c=pending[1], up_off=pending[2])
+        )
+        if l + 1 < num_levels:
+            coarse, f2c = voxel_ops.downsample_coords(prev, capacities[l + 1])
+            down_nbr = sc.build_down_plan(prev, coarse)
+            up_off = sc.up_offset_index(prev)
+            pending = (down_nbr, f2c, up_off)
+            prev = coarse
+    return UNetPlan(levels=tuple(levels), point_inverse=inverse,
+                    point_counts=counts, num_voxels=jnp.stack(nums))
+
+
+class _BN(nn.Module):
+    """Masked BatchNorm(+LeakyReLU) over active voxels with running stats."""
+
+    features: int
+    leakiness: float = 0.0
+    act: bool = True
+    momentum: float = 0.9
+    eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, valid, train: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features, jnp.float32))
+        st = sc.BNState(ra_mean.value, ra_var.value)
+        out, new_st = sc.batch_norm_act(
+            x, valid, scale, bias, st, training=train, momentum=self.momentum,
+            eps=self.eps, leakiness=self.leakiness, act=self.act)
+        if train and not self.is_initializing():
+            ra_mean.value = new_st.running_mean
+            ra_var.value = new_st.running_var
+        return out
+
+
+def _conv_init(key, shape, dtype=jnp.float32):
+    """SCN-style init: normal with std sqrt(2 / (kernel_volume * fan_in))."""
+    k, cin, _ = shape
+    std = (2.0 / (k * cin)) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class SparseUNet(nn.Module):
+    """The scn.UNet stack (stem conv + recursive UNet + final BNReLU)."""
+
+    in_channels: int = 1
+    m: int = 16
+    num_planes: int = 7
+    block_reps: int = 1
+    residual_blocks: bool = False
+    full_scale: int = 4096
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return self.m
+
+    @nn.compact
+    def __call__(self, point_feats: jax.Array, plan: UNetPlan, train: bool = False):
+        assert not self.residual_blocks, "shipped configs use VGG-style blocks"
+        assert self.block_reps == 1, "shipped configs use block_reps=1"
+        planes = [(i + 1) * self.m for i in range(self.num_planes)]
+        cdt = self.compute_dtype
+
+        # InputLayer mode=4: mean-pool duplicate points into level-0 voxels
+        cap0 = plan.levels[0].nbr.shape[0]
+        x = voxel_ops.pool_features(point_feats.astype(cdt), plan.point_inverse,
+                                    plan.point_counts, cap0)
+
+        # stem: SubmanifoldConvolution(in_channels -> m), no bias (ref :27)
+        w_stem = self.param("stem", _conv_init, (27, self.in_channels, self.m))
+        x = sc.submanifold_conv(x, plan.levels[0].nbr, w_stem)
+
+        x = self._level(0, x, plan, planes, train)
+
+        x = _BN(self.m, leakiness=0.0, act=True, name="final_bn")(
+            x, plan.levels[0].valid, train)
+
+        # OutputLayer: voxel -> point unmapping
+        return voxel_ops.unpool_features(x, plan.point_inverse)
+
+    def _level(self, l: int, x, plan: UNetPlan, planes, train: bool):
+        p = planes[l]
+        lv = plan.levels[l]
+        # block: BNLeakyReLU -> SubConv(p -> p)
+        x = _BN(p, name=f"l{l}_bn1")(x, lv.valid, train)
+        w1 = self.param(f"l{l}_conv1", _conv_init, (27, p, p))
+        x = sc.submanifold_conv(x, lv.nbr, w1)
+
+        if l + 1 < len(planes):
+            q = planes[l + 1]
+            nxt = plan.levels[l + 1]
+            skip = x
+            # down: BNLeakyReLU -> Convolution(p -> q, k2 s2)
+            y = _BN(p, name=f"l{l}_bn_down")(x, lv.valid, train)
+            w_down = self.param(f"l{l}_down", _conv_init, (8, p, q))
+            y = sc.strided_conv(y, nxt.down_nbr, w_down)
+
+            y = self._level(l + 1, y, plan, planes, train)
+
+            # up: BNLeakyReLU -> Deconvolution(q -> p, k2 s2)
+            y = _BN(q, name=f"l{l}_bn_up")(y, nxt.valid, train)
+            w_up = self.param(f"l{l}_up", _conv_init, (8, q, p))
+            y = sc.deconv(y, nxt.f2c, nxt.up_off, w_up, lv.valid)
+
+            # join + fuse: BNLeakyReLU(2p) -> SubConv(2p -> p)
+            x = jnp.concatenate([skip, y], axis=-1)
+            x = _BN(2 * p, name=f"l{l}_bn2")(x, lv.valid, train)
+            w2 = self.param(f"l{l}_conv2", _conv_init, (27, 2 * p, p))
+            x = sc.submanifold_conv(x, lv.nbr, w2)
+        return x

@@ -110,8 +110,13 @@ def voxelize(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
 
     # voxel slot per sorted point (0-based); padding points get -1
     vox_of_sorted = jnp.cumsum(new_group.astype(jnp.int32)) - 1
-    vox_of_sorted = jnp.where(s_valid, vox_of_sorted, -1)
-    num_voxels = jnp.sum(new_group.astype(jnp.int32))
+    # Overflow policy: voxels beyond capacity are dropped — their points map
+    # to -1 and contribute nothing, instead of corrupting the last slot.
+    in_cap = vox_of_sorted < v
+    vox_of_sorted = jnp.where(s_valid & in_cap, vox_of_sorted, -1)
+    s_valid = s_valid & in_cap
+    new_group = new_group & in_cap
+    num_voxels = jnp.minimum(jnp.sum(new_group.astype(jnp.int32)), v)
 
     # scatter back to original point order
     inverse = jnp.zeros((n,), jnp.int32).at[s_perm].set(vox_of_sorted)

@@ -1,0 +1,176 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mopa_tpu.ops import sparse_conv as sc
+from mopa_tpu.ops import voxel
+
+
+def make_cloud(rng, n=60, scale=8, cin=4, n_pad=5):
+    coords = rng.integers(0, scale, size=(n, 3)).astype(np.int32)
+    # dedup points so per-point feats == per-voxel feats (simplifies golden)
+    coords = np.unique(coords, axis=0)
+    n = coords.shape[0]
+    batch_idx = np.zeros(n, np.int32)
+    valid = np.ones(n, bool)
+    feats = rng.normal(size=(n, cin)).astype(np.float32)
+    if n_pad:
+        coords = np.concatenate([coords, np.zeros((n_pad, 3), np.int32)])
+        batch_idx = np.concatenate([batch_idx, np.zeros(n_pad, np.int32)])
+        valid = np.concatenate([valid, np.zeros(n_pad, bool)])
+        feats = np.concatenate([feats, 99 * np.ones((n_pad, cin), np.float32)])
+    return coords, batch_idx, valid, feats
+
+
+def dense_from_sparse(coords, feats, valid, scale, cin):
+    dense = np.zeros((scale, scale, scale, cin), np.float32)
+    for c, f, v in zip(coords, feats, valid):
+        if v:
+            dense[tuple(c)] = f
+    return dense
+
+
+def dense_conv3(dense, w):
+    """Cross-correlation: out[p] = sum_off dense[p+off] @ w[off_index]."""
+    offs = sc.kernel_offsets(3)
+    s = dense.shape[0]
+    out = np.zeros((s, s, s, w.shape[-1]), np.float32)
+    padded = np.pad(dense, [(1, 1)] * 3 + [(0, 0)])
+    for k, off in enumerate(offs):
+        shifted = padded[1 + off[0] : 1 + off[0] + s,
+                         1 + off[1] : 1 + off[1] + s,
+                         1 + off[2] : 1 + off[2] + s]
+        out += shifted @ w[k]
+    return out
+
+
+def test_submanifold_conv_matches_dense():
+    rng = np.random.default_rng(0)
+    cin, cout, scale = 4, 6, 8
+    coords, batch_idx, valid, feats = make_cloud(rng, cin=cin, scale=scale)
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32)
+
+    @jax.jit
+    def run():
+        table, inverse, counts = voxel.voxelize(coords, batch_idx, valid)
+        vfeats = voxel.pool_features(jnp.asarray(feats), inverse, counts, table.capacity)
+        nbr = sc.build_submanifold_plan(table)
+        out = sc.submanifold_conv(vfeats, nbr, jnp.asarray(w))
+        return table.coords, table.batch, table.num, out
+
+    t_coords, t_batch, num, out = map(np.asarray, run())
+    num = int(num)
+
+    dense = dense_from_sparse(coords, feats, valid, scale, cin)
+    ref = dense_conv3(dense, w)
+    got = out[:num]
+    want = np.stack([ref[tuple(c)] for c in t_coords[:num]])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # padding slots produce zeros only if inputs were zeroed there — not
+    # required; what matters is that they are masked downstream.
+
+
+def test_strided_conv_and_deconv_roundtrip_structure():
+    rng = np.random.default_rng(1)
+    cin, cmid, scale = 3, 5, 8
+    coords, batch_idx, valid, feats = make_cloud(rng, n=40, cin=cin, scale=scale)
+    w_down = rng.normal(size=(8, cin, cmid)).astype(np.float32)
+    w_up = rng.normal(size=(8, cmid, cin)).astype(np.float32)
+
+    @jax.jit
+    def run():
+        fine, inverse, counts = voxel.voxelize(coords, batch_idx, valid)
+        vfeats = voxel.pool_features(jnp.asarray(feats), inverse, counts, fine.capacity)
+        vfeats = jnp.where(fine.valid_mask()[:, None], vfeats, 0.0)
+        coarse, f2c = voxel.downsample_coords(fine, capacity=fine.capacity)
+        down_nbr = sc.build_down_plan(fine, coarse)
+        mid = sc.strided_conv(vfeats, down_nbr, jnp.asarray(w_down))
+        off_idx = sc.up_offset_index(fine)
+        up = sc.deconv(mid, f2c, off_idx, jnp.asarray(w_up), fine.valid_mask())
+        return (fine.coords, fine.num, coarse.coords, coarse.num, f2c, mid, up,
+                down_nbr)
+
+    f_coords, f_num, c_coords, c_num, f2c, mid, up, down_nbr = map(np.asarray, run())
+    f_num, c_num = int(f_num), int(c_num)
+
+    # golden strided conv: out[c] = sum over fine sites with floor(f/2)==c of
+    # feats[f] @ w_down[offset(f)]
+    vox_feats = {}
+    for c, f, v in zip(coords, feats, valid):
+        if v:
+            vox_feats[tuple(c)] = f
+    ref_mid = np.zeros((c_num, 5), np.float32)
+    for ci in range(c_num):
+        base = 2 * c_coords[ci]
+        for o_idx, off in enumerate(
+            [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+        ):
+            key = tuple(base + np.asarray(off))
+            if key in vox_feats:
+                ref_mid[ci] += vox_feats[key] @ w_down[o_idx]
+    np.testing.assert_allclose(mid[:c_num], ref_mid, rtol=1e-4, atol=1e-4)
+
+    # golden deconv: out[f] = mid[f2c[f]] @ w_up[f % 2 offset]
+    for fi in range(f_num):
+        off = f_coords[fi] % 2
+        o_idx = off[0] * 4 + off[1] * 2 + off[2]
+        want = mid[f2c[fi]] @ w_up[o_idx]
+        np.testing.assert_allclose(up[fi], want, rtol=1e-4, atol=1e-4)
+
+
+def test_batch_norm_masked_stats_and_act():
+    rng = np.random.default_rng(2)
+    v, c = 50, 4
+    feats = rng.normal(size=(v, c)).astype(np.float32) * 3 + 1
+    valid = rng.random(v) > 0.3
+    scale = np.abs(rng.normal(size=(c,)).astype(np.float32)) + 0.5
+    bias = rng.normal(size=(c,)).astype(np.float32)
+    st = sc.BNState(jnp.zeros(c), jnp.ones(c))
+
+    @jax.jit
+    def run(feats):
+        out, new_st = sc.batch_norm_act(
+            feats, jnp.asarray(valid), jnp.asarray(scale), jnp.asarray(bias), st,
+            training=True, leakiness=0.0)
+        out_leaky, _ = sc.batch_norm_act(
+            feats, jnp.asarray(valid), jnp.asarray(scale), jnp.asarray(bias), st,
+            training=True, leakiness=0.1, act=True)
+        return out, new_st, out_leaky
+
+    out, new_st, out_leaky = run(jnp.asarray(feats))
+    out = np.asarray(out)
+
+    m = feats[valid].mean(0)
+    var = feats[valid].var(0)
+    ref = (feats - m) / np.sqrt(var + 1e-4) * scale + bias
+    ref_act = np.maximum(ref, 0)
+    np.testing.assert_allclose(out[valid], ref_act[valid], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(new_st.running_mean), 0.9 * 0 + 0.1 * m,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_st.running_var), 0.9 * 1 + 0.1 * var,
+                               rtol=1e-4, atol=1e-4)
+    # leaky path differs below zero
+    ref_leaky = np.where(ref >= 0, ref, 0.1 * ref)
+    np.testing.assert_allclose(np.asarray(out_leaky)[valid], ref_leaky[valid],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_conv_grads_flow():
+    rng = np.random.default_rng(3)
+    cin, cout = 3, 4
+    coords, batch_idx, valid, feats = make_cloud(rng, n=30, cin=cin, scale=8)
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32)
+
+    @jax.jit
+    def loss(w, feats):
+        table, inverse, counts = voxel.voxelize(coords, batch_idx, valid)
+        vfeats = voxel.pool_features(feats, inverse, counts, table.capacity)
+        nbr = sc.build_submanifold_plan(table)
+        out = sc.submanifold_conv(vfeats, nbr, w)
+        mask = table.valid_mask()[:, None]
+        return jnp.sum(jnp.where(mask, out, 0.0) ** 2)
+
+    gw, gf = jax.jit(jax.grad(loss, argnums=(0, 1)))(jnp.asarray(w), jnp.asarray(feats))
+    assert np.isfinite(np.asarray(gw)).all()
+    assert np.isfinite(np.asarray(gf)).all()
+    assert float(jnp.abs(gw).sum()) > 0
