@@ -188,11 +188,28 @@ _C.DATASET_TARGET.SemanticKITTISCN.g_indices_dir = None
 # SAM consistency
 _C.DATASET_TARGET.SemanticKITTISCN.sam_mask_dir = None
 _C.DATASET_TARGET.SemanticKITTISCN.ema_input = False
+# legacy key present in the reference's shipped xmuda_pl.yaml (no effect)
+_C.DATASET_TARGET.SemanticKITTISCN.cat_type = ""
 # legacy keys used by some shipped configs (baseline.yaml)
 _C.DATASET_SOURCE.SemanticKITTISCN.preprocess_dir = ""
 _C.DATASET_SOURCE.SemanticKITTISCN.semantic_kitti_dir = ""
 _C.DATASET_TARGET.SemanticKITTISCN.preprocess_dir = ""
 _C.DATASET_TARGET.SemanticKITTISCN.semantic_kitti_dir = ""
+
+# SyntheticSCN (TPU-native addition: dataset-free smoke/bench runs)
+_C.DATASET_SOURCE.SyntheticSCN = CN()
+_C.DATASET_SOURCE.SyntheticSCN.length = 64
+_C.DATASET_SOURCE.SyntheticSCN.n_points = 8192
+_C.DATASET_SOURCE.SyntheticSCN.image_size = (480, 302)
+_C.DATASET_SOURCE.SyntheticSCN.num_classes = 10
+_C.DATASET_SOURCE.SyntheticSCN.scale = 20
+_C.DATASET_SOURCE.SyntheticSCN.full_scale = 4096
+_C.DATASET_SOURCE.SyntheticSCN.seed = 0
+_C.DATASET_SOURCE.SyntheticSCN.with_pseudo_labels = False
+_C.DATASET_SOURCE.SyntheticSCN.with_sam_mask = False
+_C.DATASET_SOURCE.SyntheticSCN.with_vgi = False
+_C.DATASET_SOURCE.SyntheticSCN.with_ema = False
+_C.DATASET_TARGET.SyntheticSCN = CN(_C.DATASET_SOURCE.SyntheticSCN)
 
 # ---------------------------------------------------------------------------- #
 # Model 2D

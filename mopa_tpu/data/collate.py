@@ -1,0 +1,155 @@
+"""Padded batch assembly for TPU static shapes.
+
+TPU-native replacement of the reference SCN collate
+(``mopa/data/collate.py:125-294``): instead of ragged flat concatenation with
+per-sample Python lists, every per-point tensor is padded/truncated to a
+static per-sample budget P, so the whole batch is a pytree of fixed-shape
+arrays that feeds one jitted train step. Batch indices still ride next to the
+voxel coordinates (flattened (B*P, ...) layout for the 3D branch).
+
+Output keys (superset, by feature availability — mirrors the reference's):
+
+    img (B,H,W,3) NHWC          img_indices (B,P,2)      point_valid (B,P)
+    coords (B*P,3) batch_idx (B*P,)  feats (B*P,Cin)     seg_label (B*P,)
+    pseudo_label_2d/3d (B*P,)
+    sam_mask (B,H,W) int32 (ids remapped into a static budget)
+    EMA:  ori_img (B,H,W,3)  ori_img_indices (B,P,2)  ori_coords (B*P,3)
+          ori_batch_idx (B*P,)  ori_point_valid (B,P)  ori_feats (B*P,Cin)
+          ema_map (B,P) int32: student-point -> ori-point index (-1 pad)
+    VGI:  ori_points (B,P,4)  ori_points_valid (B,P)  g_mask (B,P)
+          obj_pc (B,O,4)  obj_valid (B,O)  obj_label (B,)
+          proj_matrix (B,3,4)  img_size (B,2)
+    num_points (B,) true counts (diagnostics / overflow accounting)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+
+def _pad_to(arr: np.ndarray, budget: int, fill=0):
+    n = arr.shape[0]
+    if n >= budget:
+        return arr[:budget], min(n, budget)
+    pad_shape = (budget - n,) + arr.shape[1:]
+    pad = np.full(pad_shape, fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0), n
+
+
+def remap_mask_ids(mask: np.ndarray, budget: int) -> np.ndarray:
+    """Remap raw SAM mask ids to dense [0, budget); invalid/overflow -> -100.
+
+    The raw uint8 id-map has arbitrary ids; the mask-consistency loss needs a
+    static id budget (``losses.mask_cons_loss``). Largest-area masks win the
+    budget slots (area-descending, matching the reference's sort-by-area).
+    """
+    mask = mask.astype(np.int32)
+    out = np.full_like(mask, -100)
+    ids, counts = np.unique(mask[mask >= 0], return_counts=True)
+    order = np.argsort(-counts)
+    for new_id, k in enumerate(order[:budget]):
+        out[mask == ids[k]] = new_id
+    return out
+
+
+def collate_padded(samples: List[Dict], point_budget: int,
+                   obj_budget: int = 2048, mask_budget: int = 64) -> Dict:
+    """Collate a list of per-sample dicts (from the dataset __getitem__) into
+    one padded numpy batch."""
+    b = len(samples)
+    out: Dict[str, np.ndarray] = {}
+    p = point_budget
+
+    def stack_points(key, fill, dtype=None, budget=p):
+        arrs, counts = [], []
+        for s in samples:
+            a = np.asarray(s[key])
+            if dtype is not None:
+                a = a.astype(dtype)
+            a, n = _pad_to(a, budget, fill)
+            arrs.append(a)
+            counts.append(n)
+        return np.stack(arrs), np.asarray(counts, np.int32)
+
+    coords, num_points = stack_points("coords", 0, np.int32)
+    out["coords"] = coords.reshape(b * p, 3)
+    out["num_points"] = num_points
+    batch_idx = np.repeat(np.arange(b, dtype=np.int32)[:, None], p, axis=1)
+    out["batch_idx"] = batch_idx.reshape(b * p)
+    pv = np.arange(p)[None, :] < num_points[:, None]
+    out["point_valid"] = pv
+
+    feats, _ = stack_points("feats", 0, np.float32)
+    out["feats"] = feats.reshape(b * p, -1)
+
+    if "seg_label" in samples[0]:
+        lab, _ = stack_points("seg_label", -100, np.int32)
+        out["seg_label"] = lab.reshape(b * p)
+
+    if "img" in samples[0]:
+        out["img"] = np.stack([np.asarray(s["img"], np.float32) for s in samples])
+        idx, _ = stack_points("img_indices", 0, np.int32)
+        out["img_indices"] = idx
+
+    for key in ("pseudo_label_2d", "pseudo_label_3d"):
+        if key in samples[0]:
+            lab, _ = stack_points(key, -100, np.int32)
+            out[key] = lab.reshape(b * p)
+
+    if "sam_mask" in samples[0]:
+        out["sam_mask"] = np.stack(
+            [remap_mask_ids(np.asarray(s["sam_mask"]), mask_budget) for s in samples])
+
+    # ----- EMA originals -----
+    if "ori_img" in samples[0]:
+        out["ori_img"] = np.stack(
+            [np.asarray(s["ori_img"], np.float32) for s in samples])
+        oidx, _ = stack_points("ori_img_indices", 0, np.int32)
+        out["ori_img_indices"] = oidx
+        ocoords, onum = stack_points("ori_coords", 0, np.int32)
+        out["ori_coords"] = ocoords.reshape(b * p, 3)
+        out["ori_batch_idx"] = out["batch_idx"]
+        out["ori_point_valid"] = np.arange(p)[None, :] < onum[:, None]
+        ofeats, _ = stack_points("ori_feats", 0, np.float32)
+        out["ori_feats"] = ofeats.reshape(b * p, -1)
+        emap, _ = stack_points("ema_map", -1, np.int32)
+        out["ema_map"] = emap
+
+    # ----- VGI inputs -----
+    if "ori_points" in samples[0]:
+        pts, vnum = stack_points("ori_points", 0, np.float32)
+        out["ori_points"] = pts
+        out["ori_points_valid"] = np.arange(p)[None, :] < vnum[:, None]
+        if "g_indices" in samples[0]:
+            g, _ = stack_points("g_indices", 0, bool)
+            out["g_mask"] = g
+        objs, labels, ovalid = [], [], []
+        for s in samples:
+            # one inserted object per scan (reference multi_objs=False default)
+            opc = np.asarray(s["ori_obj_pc"][0], np.float32)
+            opc, n = _pad_to(opc, obj_budget, 0)
+            objs.append(opc)
+            ovalid.append(np.arange(obj_budget) < n)
+            labels.append(int(np.asarray(s["ori_obj_label"][0]).flat[0]))
+        out["obj_pc"] = np.stack(objs)
+        out["obj_valid"] = np.stack(ovalid)
+        out["obj_label"] = np.asarray(labels, np.int32)
+        out["proj_matrix"] = np.stack(
+            [np.asarray(s["proj_matrix"], np.float32)[:3, :4] for s in samples])
+        out["img_size"] = np.stack(
+            [np.asarray(s["ori_img_size"], np.int32) for s in samples])
+
+    # host-side metadata (not shipped to device)
+    meta = {}
+    for key in ("lidar_path", "scan_pth"):
+        if key in samples[0]:
+            meta[key] = [s[key] for s in samples]
+    for key in ("orig_seg_label", "orig_points_idx", "ori_keep_idx",
+                "ori_img_points"):
+        if key in samples[0]:
+            meta[key] = [np.asarray(s[key]) for s in samples]
+    if meta:
+        out["_meta"] = meta
+    return out

@@ -1,0 +1,184 @@
+"""Synthetic LiDAR+camera dataset for tests and benchmarks.
+
+Emits the exact per-sample dict schema of the real datasets (KITTI flavour:
+front-FOV scans, optional pseudo-labels / SAM masks / ground masks / VGI
+objects / EMA originals) so the full training pipeline — collate, train step,
+VGI, EMA — runs without dataset files. Scans are generated as a ground plane
+plus random upright boxes, roughly matching LiDAR point-count statistics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mopa_tpu.data.utils.augmentation_3d import augment_and_scale_3d
+
+
+class SyntheticSCN:
+    class_names = ["car", "truck", "bike", "person", "road",
+                   "parking", "sidewalk", "building", "nature", "other-objects"]
+
+    def __init__(self, split=("train",), length=64, n_points=8192,
+                 image_size=(480, 302), num_classes=10, scale=20,
+                 full_scale=4096, noisy_rot=0.1, flip_y=0.5, rot_z=6.2831,
+                 transl=True, fliplr=0.5, color_jitter=None, output_orig=False,
+                 with_pseudo_labels=False, with_sam_mask=False,
+                 with_vgi=False, with_ema=False, sam_mask_budget=16,
+                 seed=0, rng=None, **_unused):
+        self.length = length
+        self.n_points = n_points
+        self.image_size = tuple(image_size)  # (W, H)
+        self.num_classes = num_classes
+        self.class_names = self.class_names[:num_classes]
+        self.scale = scale
+        self.full_scale = full_scale
+        self.noisy_rot = noisy_rot
+        self.flip_y = flip_y
+        self.rot_z = rot_z
+        self.transl = transl
+        self.fliplr = fliplr
+        self.output_orig = output_orig
+        self.with_pseudo_labels = with_pseudo_labels
+        self.with_sam_mask = with_sam_mask
+        self.with_vgi = with_vgi
+        self.with_ema = with_ema
+        self.sam_mask_budget = sam_mask_budget
+        self.rng = rng or np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.length
+
+    def _scan(self, rng):
+        """Ground plane + boxes in the front frustum (x forward, y left)."""
+        n = self.n_points
+        n_ground = n // 2
+        gx = rng.uniform(2, 50, n_ground)
+        gy = gx * rng.uniform(-0.5, 0.5, n_ground)
+        gz = rng.normal(-1.7, 0.02, n_ground)
+        glab = np.full(n_ground, 4)  # road
+        pts = [np.stack([gx, gy, gz], 1)]
+        labs = [glab]
+        remaining = n - n_ground
+        while remaining > 0:
+            m = min(remaining, int(rng.integers(64, 512)))
+            cx = rng.uniform(4, 45)
+            cy = cx * rng.uniform(-0.4, 0.4)
+            sx, sy, sz = rng.uniform(0.5, 4, 3)
+            p = np.stack([
+                cx + rng.uniform(-sx, sx, m),
+                cy + rng.uniform(-sy, sy, m),
+                rng.uniform(-1.7, -1.7 + 2 * sz, m),
+            ], 1)
+            pts.append(p)
+            labs.append(np.full(m, int(rng.integers(0, self.num_classes))))
+            remaining -= m
+        points = np.concatenate(pts).astype(np.float32)
+        labels = np.concatenate(labs).astype(np.int64)
+        g_mask = np.zeros(n, bool)
+        g_mask[:n_ground] = True
+        return points, labels, g_mask
+
+    def _project(self, points):
+        """Simple pinhole projection to (row, col) with a KITTI-like matrix."""
+        w, h = self.image_size
+        f = 0.6 * w
+        proj = np.array([[f, 0, w / 2.0, 0],
+                         [0, f, h / 2.0, 0],
+                         [0, 0, 1, 0]], np.float32)
+        # camera frame: x right (= -y lidar), y down (= -z), z forward (= x)
+        cam = np.stack([-points[:, 1], -points[:, 2], points[:, 0]], 1)
+        uvw = (proj[:, :3] @ cam.T).T
+        uv = uvw[:, :2] / np.maximum(uvw[:, 2:3], 1e-6)
+        cols, rows = uv[:, 0], uv[:, 1]
+        keep = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w) & (points[:, 0] > 0.5)
+        img_points = np.stack([rows, cols], 1)
+        # lidar->image proj matrix in lidar coords (for VGI frustum check,
+        # reference projects homogeneous lidar points and divides by z-cam)
+        basis = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0],
+                          [0, 0, 0, 1]], np.float32)
+        full_proj = proj @ basis
+        return img_points, keep, full_proj
+
+    def __getitem__(self, index):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([int(self.rng.integers(1 << 30)), index]))
+        points, labels, g_mask = self._scan(rng)
+        img_points, keep, proj_matrix = self._project(points)
+        points, labels, g_mask = points[keep], labels[keep], g_mask[keep]
+        img_points = img_points[keep]
+
+        w, h = self.image_size
+        image = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+
+        out = {}
+        ori_points = points.copy()
+        img_indices = np.floor(img_points).astype(np.int64)
+        img_indices[:, 0] = np.clip(img_indices[:, 0], 0, h - 1)
+        img_indices[:, 1] = np.clip(img_indices[:, 1], 0, w - 1)
+
+        if self.with_ema:
+            out["ori_img"] = image.copy()
+            ori_points_img = img_indices.copy()
+
+        if rng.random() < self.fliplr:
+            image = np.ascontiguousarray(np.fliplr(image))
+            img_indices = img_indices.copy()
+            img_indices[:, 1] = image.shape[1] - 1 - img_indices[:, 1]
+
+        coords, aug_points = augment_and_scale_3d(
+            points, self.scale, self.full_scale, rng=rng, noisy_rot=self.noisy_rot,
+            flip_y=self.flip_y, rot_z=self.rot_z, transl=self.transl)
+        coords = coords.astype(np.int64)
+        idxs = (coords.min(1) >= 0) * (coords.max(1) < self.full_scale)
+
+        out.update({
+            "img": image,
+            "img_indices": img_indices[idxs],
+            "coords": coords[idxs],
+            "aug_points": aug_points[idxs],
+            "feats": np.ones([int(idxs.sum()), 1], np.float32),
+            "seg_label": labels[idxs],
+            "lidar_path": "synthetic/{:06d}.bin".format(index),
+            "scan_pth": "synthetic/{:06d}.bin".format(index),
+        })
+
+        if self.with_pseudo_labels:
+            ps = labels.copy()
+            drop = rng.random(ps.shape[0]) < 0.3
+            ps[drop] = -100
+            out["pseudo_label_2d"] = ps[idxs]
+            out["pseudo_label_3d"] = ps[idxs]
+
+        if self.with_sam_mask:
+            mask = rng.integers(-1, self.sam_mask_budget, (h, w)).astype(np.int32)
+            out["sam_mask"] = mask
+
+        if self.output_orig:
+            out["orig_seg_label"] = labels
+            out["orig_points_idx"] = idxs
+
+        if self.with_ema:
+            ori_coords, _ = augment_and_scale_3d(ori_points, self.scale,
+                                                 self.full_scale, rng=rng)
+            ori_idxs = (ori_coords.min(1) >= 0) * (ori_coords.max(1) < self.full_scale)
+            out["ori_img_indices"] = ori_points_img[ori_idxs]
+            out["ori_coords"] = ori_coords[ori_idxs].astype(np.int64)
+            out["ori_feats"] = np.ones([int(ori_idxs.sum()), 1], np.float32)
+            ori_pos = np.cumsum(ori_idxs) - 1
+            out["ema_map"] = np.where(ori_idxs, ori_pos, -1)[idxs].astype(np.int32)
+
+        if self.with_vgi:
+            m = int(rng.integers(96, 256))
+            c = np.array([rng.uniform(5, 12), rng.uniform(-2, 2),
+                          rng.uniform(-1.6, -1.0)])
+            obj = (c + rng.uniform(-0.4, 0.4, (m, 3))).astype(np.float32)
+            obj = np.concatenate([obj, rng.uniform(0, 1, (m, 1)).astype(np.float32)], 1)
+            out["ori_obj_pc"] = [obj]
+            out["ori_obj_label"] = [np.full(m, 3)]
+            out["ori_points"] = np.concatenate(
+                [ori_points, np.ones((ori_points.shape[0], 1), np.float32)], 1)
+            out["ori_img_size"] = np.asarray(self.image_size, np.int32)
+            out["proj_matrix"] = proj_matrix[:3, :4]
+            out["g_indices"] = g_mask
+
+        return out
