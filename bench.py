@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark: LiDAR scans/sec/chip for the full MoPA UDA train step.
+
+Runs the complete jitted iteration — 2D UNetResNet34 + 3D sparse UNet on
+source and target, cross-modal KL, pseudo-label CE, SAM mask consistency,
+VGI insertion + third 3D forward, both optimizers — on synthetic scans with
+SemanticKITTI-like shapes (A2D2->KITTI config geometry: batch 8, 16k-point
+budget, 302x480 images, m=16 / 7-level sparse UNet), and prints one JSON line.
+
+``vs_baseline`` compares against the reference implementation's estimated
+single-GPU throughput (REF_GPU_SCANS_PER_SEC below): the reference publishes
+no throughput numbers (SURVEY §6), so the baseline is the published training
+recipe's implied rate (100k iters x batch 8 over a multi-day single-GPU run,
+VGI insertion timed on host per iteration). Update when a measured number
+exists.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REF_GPU_SCANS_PER_SEC = 4.0  # estimated reference single-GPU rate (see above)
+
+
+def main():
+    import jax
+
+    from mopa_tpu.config.xmuda import cfg
+    from mopa_tpu.data.build import build_dataloader
+    from mopa_tpu.train import trainer as trainer_mod
+    from mopa_tpu.train.common import device_batch
+
+    c = cfg.clone()
+    c.merge_from_file(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "configs/synthetic/mopa_smoke.yaml"))
+    # production-scale shapes (A2D2->SemanticKITTI geometry)
+    c.TRAIN.BATCH_SIZE = int(os.environ.get("BENCH_BATCH", 8))
+    c.TPU.POINT_BUDGET = int(os.environ.get("BENCH_POINTS", 16384))
+    c.TPU.COMPUTE_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+    c.MODEL_3D.SCN.m = 16
+    c.MODEL_3D.SCN.num_planes = 7
+    for d in (c.DATASET_SOURCE.SyntheticSCN, c.DATASET_TARGET.SyntheticSCN):
+        d.n_points = 24000
+        d.image_size = (480, 302)
+        d.length = 8
+    c.DATALOADER.NUM_WORKERS = 4
+
+    models, _ = trainer_mod.build_models(c, output_all=True)
+    src = device_batch(next(iter(build_dataloader(c, "train", "source"))))
+    trg = device_batch(next(iter(build_dataloader(c, "train", "target"))))
+    state = trainer_mod.create_train_state(c, models, src)
+    step = trainer_mod.make_train_step(c, models, with_pl=True, with_ema=False)
+
+    # compile + warmup
+    state, metrics = step(state, src, trg)
+    jax.block_until_ready(metrics)
+    n_iters = int(os.environ.get("BENCH_ITERS", 20))
+    t0 = time.time()
+    for _ in range(n_iters):
+        state, metrics = step(state, src, trg)
+    jax.block_until_ready(metrics)
+    dt = time.time() - t0
+
+    scans_per_sec = n_iters * c.TRAIN.BATCH_SIZE / dt
+    result = {
+        "metric": "mopa_train_scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/s/chip",
+        "vs_baseline": round(scans_per_sec / REF_GPU_SCANS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

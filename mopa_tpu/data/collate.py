@@ -125,6 +125,9 @@ def collate_padded(samples: List[Dict], point_budget: int,
         if "g_indices" in samples[0]:
             g, _ = stack_points("g_indices", 0, bool)
             out["g_mask"] = g
+        if "ori_pseudo_label_3d" in samples[0]:
+            opl, _ = stack_points("ori_pseudo_label_3d", -100, np.int32)
+            out["ori_pseudo_label_3d"] = opl
         objs, labels, ovalid = [], [], []
         for s in samples:
             # one inserted object per scan (reference multi_objs=False default)

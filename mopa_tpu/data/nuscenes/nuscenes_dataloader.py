@@ -270,6 +270,7 @@ class NuScenesSCN(NuScenesBase):
                 ps_data["probs_3d"], ps_data["pseudo_label_3d"].astype(np.int32))
             out_dict["pseudo_label_2d"] = ps_label_2d[idxs]
             out_dict["pseudo_label_3d"] = ps_label_3d[idxs]
+            out_dict["ori_pseudo_label_3d"] = ps_label_3d
 
         if self.output_orig:
             out_dict["orig_seg_label"] = seg_label

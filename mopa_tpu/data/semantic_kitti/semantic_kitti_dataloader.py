@@ -413,6 +413,8 @@ class SemanticKITTISCN(SemanticKITTIBase):
         if "pseudo_label_2d" in data_dict:
             out_dict["pseudo_label_2d"] = data_dict["pseudo_label_2d"][keep_idx][idxs]
             out_dict["pseudo_label_3d"] = data_dict["pseudo_label_3d"][keep_idx][idxs]
+            # FOV-aligned (pre-crop) labels for the VGI scan points
+            out_dict["ori_pseudo_label_3d"] = data_dict["pseudo_label_3d"]
 
         if self.use_pc_mm:
             out_dict["ori_points"] = np.concatenate(

@@ -148,6 +148,7 @@ class SyntheticSCN:
             ps[drop] = -100
             out["pseudo_label_2d"] = ps[idxs]
             out["pseudo_label_3d"] = ps[idxs]
+            out["ori_pseudo_label_3d"] = ps
 
         if self.with_sam_mask:
             mask = rng.integers(-1, self.sam_mask_budget, (h, w)).astype(np.int32)

@@ -197,3 +197,68 @@ def l2_norm(feats: jax.Array, eps: float = 1e-8) -> jax.Array:
     """L2 feature normalisation (ref loss.py:230-238)."""
     norm = jnp.linalg.norm(feats, ord=2, axis=1, keepdims=True)
     return feats / jnp.maximum(norm, eps)
+
+
+def berhu_loss(prediction: jax.Array, ground_truth: jax.Array,
+               valid: jax.Array) -> jax.Array:
+    """Inverse Huber loss for the depth auxiliary task (ref loss.py:16-42).
+
+    c = 0.2 * max|err| over valid elements; linear below c, quadratic above.
+    """
+    diff = jnp.abs(prediction - ground_truth)
+    diff = jnp.where(valid, diff, 0.0)
+    c = 0.2 * jnp.max(diff)
+    lin = jnp.where(diff <= c, diff, 0.0)
+    non_lin = jnp.where(diff > c, (diff ** 2 + c ** 2) / jnp.maximum(2 * c, 1e-12),
+                        0.0)
+    n = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    return (jnp.sum(lin) + jnp.sum(non_lin)) / n
+
+
+def gaussian_kernel(source: jax.Array, target: jax.Array, kernel_mul=2.0,
+                    kernel_num=5, fix_sigma=None) -> jax.Array:
+    """Multi-bandwidth RBF kernel matrix over [source; target]
+    (ref loss.py:63-79)."""
+    total = jnp.concatenate([source, target], axis=0)
+    n = total.shape[0]
+    l2 = jnp.sum((total[:, None, :] - total[None, :, :]) ** 2, axis=-1)
+    if fix_sigma:
+        bandwidth = fix_sigma
+    else:
+        bandwidth = jnp.sum(l2) / (n ** 2 - n)
+    bandwidth = bandwidth / (kernel_mul ** (kernel_num // 2))
+    vals = [jnp.exp(-l2 / (bandwidth * kernel_mul ** i))
+            for i in range(kernel_num)]
+    return sum(vals)
+
+
+def dan_loss(source: jax.Array, target: jax.Array, kernel_mul=2.0,
+             kernel_num=5, fix_sigma=None) -> jax.Array:
+    """MK-MMD (DAN) domain alignment loss (ref loss.py:44-61), vectorised."""
+    b = source.shape[0]
+    k = gaussian_kernel(source, target, kernel_mul, kernel_num, fix_sigma)
+    ss = k[:b, :b]
+    tt = k[b:, b:]
+    st = k[:b, b:]
+    off = ~jnp.eye(b, dtype=bool)
+    # upper-triangular pairs (s1 < s2): matches the reference's loops
+    triu = jnp.triu(jnp.ones((b, b), bool), 1)
+    loss1 = jnp.sum(jnp.where(triu, ss + tt, 0.0)) / (b * (b - 1) / 2)
+    loss2 = -jnp.sum(st + st.T) / (b * b)
+    return loss1 + loss2
+
+
+def supcon_loss(labels_anchor: jax.Array, anchor_feature: jax.Array,
+                contrast_feature: jax.Array, labels_contrast: jax.Array,
+                temperature: float = 0.1) -> jax.Array:
+    """Supervised contrastive loss (ref losses.py SupConLoss:123-184)."""
+    logits = (anchor_feature @ contrast_feature.T) / temperature
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=1,
+                                                    keepdims=True))
+    mask = (labels_anchor[:, None] == labels_contrast[None, :]).astype(
+        jnp.float32)
+    exp_logits = (jnp.exp(logits) + 1e-5) * (1.0 - mask)
+    log_prob = logits - jnp.log(jnp.sum(exp_logits, axis=1, keepdims=True))
+    denom = jnp.maximum(jnp.sum(mask, axis=1), 1e-12)
+    mean_log_prob_pos = jnp.sum(mask * log_prob, axis=1) / denom
+    return -jnp.mean(mean_log_prob_pos)

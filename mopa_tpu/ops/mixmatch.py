@@ -1,0 +1,325 @@
+"""VGI — Valid Ground-based Insertion, as a jit-compiled batched transform.
+
+TPU-native re-design of the reference's host-side per-sample VGI engine
+(``mopa/data/mixmatch_ss.py:42-559``), which ping-pongs CPU<->GPU every
+iteration (``train_xmuda_mopa.py:483-554``). Here the whole pipeline runs
+inside the train step with static shapes, vmapped over the batch:
+
+1. **Collision check** (reference ``check_overlap`` :215-331): scan occupancy
+   over the search window; instead of an F.conv3d with an object-sized
+   all-ones kernel (dynamic shape — not jittable), a **summed-area table**
+   gives the box-occupancy sum for every candidate start position in O(1),
+   with the object's dynamic voxel extent handled by 8 SAT gathers. A start
+   is collision-free iff its box sum is 0 — bit-identical to conv==0.
+2. **FOV + range conditions** (:143-160): centers must project into the image
+   frustum and lie farther than the object's original range.
+3. **Ground intersection + placement** (``obj_on_road`` :355-455): candidate
+   (x, y) cells must contain Patchwork-ground voxels; one valid cell is drawn
+   uniformly (masked categorical); the object is moved by a cylinder
+   translation preserving its azimuthal orientation (delta-r along the
+   original azimuth + delta-theta z-rotation) and z-snapped to the local
+   road height + U(0, 0.1) jitter.
+4. **Occlusion-consistent removal** (``post_process`` :458-559 +
+   ``range_projection``): scan points shadowed by the inserted object on the
+   range image are dropped via segment-min scatters (ops.projection).
+5. Shared-draw 3D augmentation + receptive-field filter, emitting a padded
+   flat batch for the 3D network.
+
+Samples with no valid insertion contribute nothing (all labels -100), exactly
+like the reference's skip branch (:206-211).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from mopa_tpu.ops.projection import occlusion_removal
+
+# static budget for the occupancy window's z size (voxels of search_voxel_size;
+# 32 * 0.5m = 16m above search_z_min — taller than any insertable object)
+Z_BUDGET = 32
+
+
+def _sat3(occ):
+    """Inclusive 3D summed-area table, zero-padded at the front."""
+    sat = jnp.cumsum(jnp.cumsum(jnp.cumsum(occ, 0), 1), 2)
+    return jnp.pad(sat, ((1, 0), (1, 0), (1, 0)))
+
+
+def _box_sum(sat, s, ext):
+    """Occupancy sum of boxes [s, s+ext) for a (..., 3) grid of starts."""
+    e = s + ext
+
+    def g(ix, iy, iz):
+        return sat[ix, iy, iz]
+
+    x0, y0, z0 = s[..., 0], s[..., 1], s[..., 2]
+    x1, y1, z1 = e[..., 0], e[..., 1], e[..., 2]
+    return (g(x1, y1, z1) - g(x0, y1, z1) - g(x1, y0, z1) - g(x1, y1, z0)
+            + g(x0, y0, z1) + g(x0, y1, z0) + g(x1, y0, z0) - g(x0, y0, z0))
+
+
+def vgi_insert_sample(points, pvalid, ps_label, g_mask, obj, ovalid, obj_label,
+                      proj_matrix, img_size, rng, *, voxel_size, search_range,
+                      z_min, front_axis_x):
+    """Place one object into one scan. All shapes static.
+
+    Args:
+        points: (P, 4) unaugmented scan (xyzi).
+        pvalid: (P,) scan padding mask.
+        ps_label: (P,) int32 pseudo-labels for scan points (-100 allowed).
+        g_mask: (P,) bool Patchwork ground mask.
+        obj: (O, 4) object points; ovalid: (O,).
+        obj_label: () int32 class of the object.
+        proj_matrix: (3, 4) lidar->image projection.
+        img_size: (2,) (W, H).
+        front_axis_x: python bool — KITTI (x fwd) vs nuScenes (y fwd) window.
+
+    Returns dict: new_obj (O, 3) transformed points, inserted () bool.
+    """
+    import math
+
+    vs = voxel_size
+    sx = int(search_range[0] / vs)
+    sy = int(search_range[1] / vs)
+    zmin_vox = int(math.floor(z_min / vs))
+    gx_dim, gy_dim = 2 * sx, 2 * sy
+
+    pts = points[:, :3]
+    vox = jnp.floor(pts / vs).astype(jnp.int32)
+
+    if front_axis_x:
+        off = jnp.asarray([0, -sy, zmin_vox], jnp.int32)
+    else:
+        off = jnp.asarray([-sx, 0, zmin_vox], jnp.int32)
+    gidx = vox - off
+    # object extent in voxels (circumscribed xy circle for free rotation)
+    inf = jnp.float32(1e30)
+    om = jnp.where(ovalid[:, None], obj[:, :3], inf)
+    omin_m = jnp.min(om, axis=0)
+    om = jnp.where(ovalid[:, None], obj[:, :3], -inf)
+    omax_m = jnp.max(om, axis=0)
+    ovox_min = jnp.floor(omin_m / vs)
+    ovox_max = jnp.floor(omax_m / vs)
+    ext = (ovox_max - ovox_min + 1).astype(jnp.int32)
+    ext_xy = jnp.ceil(jnp.sqrt(ext[0] ** 2 + ext[1] ** 2)).astype(jnp.int32)
+    ez = jnp.minimum(ext[2], Z_BUDGET - 2)
+    ext_box = jnp.stack([ext_xy, ext_xy, ez])
+
+    # occupancy within the reference's z window [zmin, zmin + ez + 2)
+    zin = (gidx[:, 2] >= 0) & (gidx[:, 2] < ez + 2)
+    inb = (pvalid & zin
+           & (gidx[:, 0] >= 0) & (gidx[:, 0] < gx_dim)
+           & (gidx[:, 1] >= 0) & (gidx[:, 1] < gy_dim))
+    flat = jnp.where(inb, (gidx[:, 0] * gy_dim + gidx[:, 1]) * Z_BUDGET
+                     + jnp.clip(gidx[:, 2], 0, Z_BUDGET - 1),
+                     gx_dim * gy_dim * Z_BUDGET)
+    occ = jnp.zeros(gx_dim * gy_dim * Z_BUDGET + 1, jnp.int32).at[flat].max(
+        inb.astype(jnp.int32))
+    occ = occ[:-1].reshape(gx_dim, gy_dim, Z_BUDGET)
+    sat = _sat3(occ)
+
+    # candidate starts: all (x, y) grid cells, z-start in {0, 1}
+    xs = jnp.arange(gx_dim, dtype=jnp.int32)
+    ys = jnp.arange(gy_dim, dtype=jnp.int32)
+    gxx, gyy = jnp.meshgrid(xs, ys, indexing="ij")
+
+    def collision_free(z0):
+        s = jnp.stack([gxx, gyy, jnp.full_like(gxx, z0)], axis=-1)
+        fits = ((s[..., 0] + ext_box[0] <= gx_dim)
+                & (s[..., 1] + ext_box[1] <= gy_dim)
+                & (z0 + ext_box[2] <= Z_BUDGET))
+        e_cl = jnp.minimum(s + ext_box, jnp.asarray([gx_dim, gy_dim, Z_BUDGET]))
+        s_cl = jnp.minimum(s, e_cl)
+        box = _box_sum(sat, s_cl, e_cl - s_cl)
+        return fits & (box == 0)
+
+    free = collision_free(0) | collision_free(1)  # (gx, gy)
+
+    # centers in meters for (x, y) cells (z-agnostic; ground supplies z)
+    cx = (gxx.astype(jnp.float32) + (ext_box[0].astype(jnp.float32) - 1) / 2
+          + off[0]) * vs
+    cy = (gyy.astype(jnp.float32) + (ext_box[1].astype(jnp.float32) - 1) / 2
+          + off[1]) * vs
+    # reference quantizes chosen centers back to the voxel lattice
+    qx = jnp.floor(cx / vs) * vs
+    qy = jnp.floor(cy / vs) * vs
+
+    # condition 1: front half + image frustum (reference :143-153)
+    valid = free & (cx > 0)
+    w = img_size[0].astype(jnp.float32)
+    h = img_size[1].astype(jnp.float32)
+    # project with ground-level z (approximation of the conv-derived z center;
+    # the final z comes from the road snap anyway)
+    cz = jnp.full_like(cx, z_min + 1.0)
+    ones = jnp.ones_like(cx)
+    hom = jnp.stack([cx, cy, cz, ones], axis=-1)  # (gx, gy, 4)
+    uvw = jnp.einsum("rc,xyc->xyr", proj_matrix, hom)
+    uu = uvw[..., 0] / jnp.where(jnp.abs(uvw[..., 2]) > 1e-6, uvw[..., 2], 1e-6)
+    vv = uvw[..., 1] / jnp.where(jnp.abs(uvw[..., 2]) > 1e-6, uvw[..., 2], 1e-6)
+    valid = valid & (uu > 0) & (uu < w) & (vv > 0) & (vv < h) & (uvw[..., 2] > 0)
+
+    # condition 2: farther than the object's original center (:155-160)
+    obj_center = (omax_m + omin_m) / 2
+    ori_range = jnp.sqrt(obj_center[0] ** 2 + obj_center[1] ** 2)
+    valid = valid & (jnp.sqrt(cx ** 2 + cy ** 2) >= ori_range)
+
+    # condition 3: ground support — 2D ground-cell grid + min point z per cell
+    g_sel = pvalid & g_mask
+    g2d_ok = (g_sel & (gidx[:, 0] >= 0) & (gidx[:, 0] < gx_dim)
+              & (gidx[:, 1] >= 0) & (gidx[:, 1] < gy_dim))
+    flat2d = jnp.where(g2d_ok, gidx[:, 0] * gy_dim + gidx[:, 1],
+                       gx_dim * gy_dim)
+    gground = jnp.zeros(gx_dim * gy_dim + 1, jnp.int32).at[flat2d].max(
+        g2d_ok.astype(jnp.int32))[:-1].reshape(gx_dim, gy_dim)
+    zmin_cell = jnp.full(gx_dim * gy_dim + 1, inf).at[flat2d].min(
+        jnp.where(g2d_ok, pts[:, 2], inf))[:-1].reshape(gx_dim, gy_dim)
+    valid = valid & (gground > 0)
+
+    n_valid = jnp.sum(valid)
+    inserted = (n_valid > 0) & (jnp.sum(ovalid) > 0)
+
+    # uniform draw over valid cells (masked gumbel-argmax)
+    gkey, zkey = jax.random.split(rng)
+    gumbel = jax.random.gumbel(gkey, valid.shape)
+    score = jnp.where(valid, gumbel, -jnp.inf)
+    pick = jnp.argmax(score)
+    px, py = pick // gy_dim, pick % gy_dim
+
+    new_center = jnp.stack([qx[px, py], qy[px, py]])
+    road_z = jnp.where(jnp.isfinite(zmin_cell[px, py]), zmin_cell[px, py],
+                       z_min)
+
+    # cylinder-coordinate translation (reference :417-451)
+    theta_obj = jnp.arctan2(obj_center[1], obj_center[0])
+    r_obj = ori_range
+    theta_new = jnp.arctan2(new_center[1], new_center[0])
+    r_new = jnp.sqrt(new_center[0] ** 2 + new_center[1] ** 2)
+    d_r = r_new - r_obj
+    d_theta = theta_new - theta_obj
+    z_disc = road_z - omin_m[2] + jax.random.uniform(zkey) * 0.1
+    t = jnp.stack([d_r * jnp.cos(theta_obj), d_r * jnp.sin(theta_obj), z_disc])
+    c, s = jnp.cos(d_theta), jnp.sin(d_theta)
+    rot = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    # FIRST translate THEN rotate (reference :448-451)
+    new_obj = (obj[:, :3] + t) @ rot.T
+    return {"new_obj": new_obj, "inserted": inserted}
+
+
+def vgi_insert_batch(cfg, batch_trg: Dict, pl_3d, rng) -> Dict:
+    """Full VGI branch for a batch: insert, occlusion-remove, augment, pack.
+
+    Returns a dict with flat (B*(P+O)) arrays: coords, batch_idx, valid,
+    feats, label, obj_mask — the input of the extra 3D forward
+    (reference ``post_process`` + cat forward, train_xmuda_mopa.py:541-576).
+    """
+    pc_mm = cfg.TRAIN.PC_MM
+    dataset_cfg = cfg.get("DATASET_TARGET")
+    dkw = dataset_cfg.get(dataset_cfg.TYPE, {})
+    aug = dkw.get("augmentation", {})
+    scale = float(dkw.get("scale", 20))
+    full_scale = int(dkw.get("full_scale", 4096))
+    front_axis_x = "SEMANTICKITTI" in dataset_cfg.TYPE.upper() or \
+        dataset_cfg.TYPE == "SyntheticSCN"
+
+    points = batch_trg["ori_points"]          # (B, P, 4)
+    pvalid = batch_trg["ori_points_valid"]    # (B, P)
+    g_mask = batch_trg.get("g_mask", jnp.zeros(pvalid.shape, bool))
+    obj = batch_trg["obj_pc"]                 # (B, O, 4)
+    ovalid = batch_trg["obj_valid"]           # (B, O)
+    obj_label = batch_trg["obj_label"]        # (B,)
+    proj = batch_trg["proj_matrix"]           # (B, 3, 4)
+    img_size = batch_trg["img_size"]          # (B, 2)
+    b, p = pvalid.shape
+    o = ovalid.shape[1]
+
+    if pl_3d is None:
+        scan_label = jnp.full((b, p), -100, jnp.int32)
+    else:
+        scan_label = batch_trg.get("ori_pseudo_label_3d",
+                                   jnp.full((b, p), -100, jnp.int32))
+
+    keys = jax.random.split(rng, b + 1)
+    sample_keys, aug_key = keys[:b], keys[b]
+
+    ins = jax.vmap(
+        lambda pts, pv, psl, gm, ob, ov, ol, pm, isz, k: vgi_insert_sample(
+            pts, pv, psl, gm, ob, ov, ol, pm, isz, k,
+            voxel_size=float(pc_mm.search_voxel_size),
+            search_range=tuple(pc_mm.search_range),
+            z_min=float(pc_mm.search_z_min),
+            front_axis_x=front_axis_x)
+    )(points, pvalid, scan_label, g_mask, obj, ovalid, obj_label, proj,
+      img_size, sample_keys)
+
+    inserted = ins["inserted"]                      # (B,)
+    new_obj = ins["new_obj"]                        # (B, O, 3)
+
+    # concat scan + object per sample
+    cat_pts = jnp.concatenate([points[:, :, :3], new_obj], axis=1)  # (B,P+O,3)
+    obj_mask = jnp.concatenate(
+        [jnp.zeros((b, p), bool), ovalid & inserted[:, None]], axis=1)
+    cat_valid = jnp.concatenate(
+        [pvalid & inserted[:, None], ovalid & inserted[:, None]], axis=1)
+    cat_label = jnp.concatenate(
+        [jnp.where(inserted[:, None], scan_label, -100),
+         jnp.where((ovalid & inserted[:, None]),
+                   obj_label[:, None].astype(jnp.int32), -100)], axis=1)
+
+    # occlusion-consistent removal (use_proj)
+    if pc_mm.use_proj:
+        pres = jax.vmap(lambda pts, v, om: occlusion_removal(
+            pts, v, om, float(pc_mm.fov_up), float(pc_mm.fov_down),
+            int(pc_mm.proj_W), int(pc_mm.proj_H)))(cat_pts, cat_valid, obj_mask)
+        cat_valid = cat_valid & pres
+
+    # shared-draw augmentation (reference post_process list variant)
+    k_rot, k_noise, k_flip, k_transl = jax.random.split(aug_key, 4)
+    rot = jnp.eye(3)
+    noisy_rot = float(aug.get("noisy_rot", 0.0))
+    rot_z = float(aug.get("rot_z", 0.0))
+    flip_x = float(aug.get("flip_x", 0.0))
+    flip_y = float(aug.get("flip_y", 0.0))
+    if noisy_rot > 0:
+        rot = rot + noisy_rot * jax.random.normal(k_noise, (3, 3))
+    if flip_x > 0 or flip_y > 0:
+        sign = jax.random.randint(k_flip, (2,), 0, 2) * 2 - 1
+        fx = sign[0] if flip_x > 0 else 1
+        fy = sign[1] if flip_y > 0 else 1
+        rot = rot * jnp.asarray([fx, fy, 1])[:, None].astype(rot.dtype)
+    if rot_z > 0:
+        theta = jax.random.uniform(k_rot) * rot_z
+        cz, sz = jnp.cos(theta), jnp.sin(theta)
+        rot = rot @ jnp.array([[cz, -sz, 0.0], [sz, cz, 0.0], [0.0, 0.0, 1.0]])
+    aug_pts = jnp.einsum("bpc,cd->bpd", cat_pts, rot)
+
+    coords = aug_pts * scale
+    big = jnp.float32(1e30)
+    cmin = jnp.min(jnp.where(cat_valid[..., None], coords, big), axis=1,
+                   keepdims=True)
+    coords = coords - jnp.where(jnp.isfinite(cmin), cmin, 0.0)
+    transl = bool(aug.get("transl", False))
+    if transl:
+        cmax = jnp.max(jnp.where(cat_valid[..., None], coords, -big), axis=1,
+                       keepdims=True)
+        offset = jnp.clip(full_scale - cmax - 0.001, 0, None) \
+            * jax.random.uniform(k_transl, (b, 1, 3))
+        coords = coords + offset
+    coords = jnp.round(coords).astype(jnp.int32)
+    rf = (jnp.min(coords, axis=-1) >= 0) & (jnp.max(coords, axis=-1) < full_scale)
+    cat_valid = cat_valid & rf
+
+    n = p + o
+    batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32)[:, None], n, axis=1)
+    return {
+        "coords": coords.reshape(b * n, 3),
+        "batch_idx": batch_idx.reshape(b * n),
+        "valid": cat_valid.reshape(b * n),
+        "feats": jnp.ones((b * n, 1), jnp.float32),
+        "label": jnp.where(cat_valid, cat_label, -100).reshape(b * n),
+        "obj_mask": obj_mask.reshape(b * n),
+        "inserted": inserted,
+    }

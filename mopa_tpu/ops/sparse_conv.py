@@ -95,7 +95,9 @@ def submanifold_conv(feats: jax.Array, nbr: jax.Array, weight: jax.Array,
     """
     k = nbr.shape[1]
     cout = weight.shape[-1]
-    out = jnp.zeros((feats.shape[0], cout), dtype=feats.dtype)
+    # output sites are the rows of the neighbour map (== input sites for
+    # submanifold convs, coarse sites for strided convs)
+    out = jnp.zeros((nbr.shape[0], cout), dtype=feats.dtype)
     for j in range(k):
         gathered = _masked_take(feats, nbr[:, j])
         out = out + jnp.dot(gathered, weight[j].astype(feats.dtype),

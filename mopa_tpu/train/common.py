@@ -1,0 +1,259 @@
+"""Shared training driver for baseline / xMUDA / MoPA entry points.
+
+Re-design of the reference training scripts
+(``mopa/train/train_xmuda_mopa.py:104-684``, ``train_xmuda.py``,
+``train_baseline.py``): builds models/optimizers/checkpointers, the padded
+data pipeline, the jitted train step(s), and runs the iteration loop with
+periodic logging / checkpointing / validation. MoPA's EMA phase switches to a
+second compiled step at ``ema_start_iter``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import socket
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mopa_tpu.common.checkpoint import CheckpointerV2
+from mopa_tpu.common.logger import get_logger
+from mopa_tpu.common.metric_logger import MetricLogger, iou_to_excel
+from mopa_tpu.common.rng import set_random_seed
+from mopa_tpu.data.build import build_dataloader
+from mopa_tpu.data.utils.validate import validate
+from mopa_tpu.parallel.mesh import make_data_mesh
+from mopa_tpu.train import trainer as trainer_mod
+
+
+def parse_args(description, default_cfg_path, with_test_args=False):
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--cfg", dest="config_file", default=default_cfg_path,
+                        metavar="FILE", help="path to config file", type=str)
+    parser.add_argument("opts", help="Modify config options from the command line",
+                        default=None, nargs=argparse.REMAINDER)
+    parser.add_argument("--task", default="MoPA", type=str)
+    parser.add_argument("--resume_dir", default=None, type=str)
+    if with_test_args:
+        parser.add_argument("--model_prefix", default="", type=str)
+        parser.add_argument("--ckpt2d", default="", type=str)
+        parser.add_argument("--ckpt3d", default="", type=str)
+        parser.add_argument("--pselab_dir", default=None, type=str)
+    return parser.parse_args()
+
+
+def load_cfg(args):
+    from mopa_tpu.common.config import purge_cfg
+    from mopa_tpu.config.xmuda import cfg
+
+    c = cfg.clone()
+    c.merge_from_file(args.config_file)
+    c.merge_from_list(args.opts or [])
+    purge_cfg(c)
+    c.freeze()
+    return c
+
+
+def prepare_output_dir(cfg, args):
+    if args.resume_dir is not None:
+        models_output_dir = args.resume_dir
+    else:
+        models_output_dir = osp.join(cfg.OUTPUT_DIR, "models")
+        month_day = time.strftime("%m%d")
+        spec = osp.splitext(args.config_file)[0].replace("/", "_")
+        spec = month_day + spec + "_tpu"
+        models_output_dir = osp.join(models_output_dir, spec)
+        flag = 1
+        while osp.isdir(models_output_dir):
+            models_output_dir = models_output_dir + "-" + str(flag)
+            flag += 1
+        os.makedirs(models_output_dir, exist_ok=True)
+    logs_dir = osp.join(models_output_dir, "logs")
+    os.makedirs(logs_dir, exist_ok=True)
+    run_name = "{:s}-{:s}".format(socket.gethostname(), time.strftime("%m%d"))
+    log_file = osp.join(logs_dir, "{}_train_{}.log".format(args.task, run_name))
+    return models_output_dir, run_name, log_file
+
+
+def device_batch(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items() if k != "_meta"}
+
+
+def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
+    set_random_seed(cfg.RNG_SEED)
+    mesh = make_data_mesh(cfg)
+    if mesh is not None:
+        logger.info("Data-parallel mesh: {} devices over ICI".format(
+            mesh.shape["data"]))
+
+    use_sam = variant == "mopa" and cfg.TRAIN.PC_MM.lambda_sam_cons > 0
+    models, (metric_2d, metric_3d) = trainer_mod.build_models(
+        cfg, output_all=use_sam)
+    logger.info("Build 2D model: {}".format(cfg.MODEL_2D.TYPE))
+    logger.info("Build 3D model: {}".format(cfg.MODEL_3D.TYPE))
+
+    # data
+    set_random_seed(cfg.RNG_SEED)
+    max_iteration = cfg.SCHEDULER.MAX_ITERATION
+    train_src = build_dataloader(cfg, "train", "source", start_iteration=0)
+    has_trg = variant != "baseline" and len(cfg.DATASET_TARGET.TRAIN) > 0
+    train_trg = (build_dataloader(cfg, "train", "target", start_iteration=0)
+                 if has_trg else None)
+    val_period = cfg.VAL.PERIOD
+    val_loader = (build_dataloader(cfg, "val", "target")
+                  if val_period > 0 and len(cfg.DATASET_TARGET.VAL) > 0 else None)
+
+    # init state from one example batch
+    example = device_batch(next(iter(train_src)))
+    state = trainer_mod.create_train_state(cfg, models, example)
+    n_params_2d = sum(int(np.prod(x.shape))
+                      for x in jax.tree_util.tree_leaves(state.params_2d))
+    n_params_3d = sum(int(np.prod(x.shape))
+                      for x in jax.tree_util.tree_leaves(state.params_3d))
+    logger.info("Parameters: 2D {:.2e}  3D {:.2e}".format(n_params_2d, n_params_3d))
+
+    # checkpointers (two streams, reference train_xmuda_mopa.py:140-155)
+    holder = {"s": state}
+    ck2d = CheckpointerV2(
+        trainer_mod.CheckpointAdapter("2d", lambda: holder["s"],
+                                      lambda s: holder.__setitem__("s", s)),
+        save_dir=output_dir, logger=logger, postfix="_2d",
+        max_to_keep=cfg.TRAIN.MAX_TO_KEEP)
+    ckpt_data_2d = ck2d.load(cfg.RESUME_PATH, resume=cfg.AUTO_RESUME,
+                             resume_states=cfg.RESUME_STATES)
+    ck3d = CheckpointerV2(
+        trainer_mod.CheckpointAdapter("3d", lambda: holder["s"],
+                                      lambda s: holder.__setitem__("s", s)),
+        save_dir=output_dir, logger=logger, postfix="_3d",
+        max_to_keep=cfg.TRAIN.MAX_TO_KEEP)
+    ckpt_data_3d = ck3d.load(cfg.RESUME_PATH, resume=cfg.AUTO_RESUME,
+                             resume_states=cfg.RESUME_STATES)
+    state = holder["s"]
+    start_iteration = int(ckpt_data_2d.get("iteration", 0))
+    ckpt_period = cfg.TRAIN.CHECKPOINT_PERIOD
+
+    if start_iteration:
+        train_src = build_dataloader(cfg, "train", "source",
+                                     start_iteration=start_iteration)
+        if has_trg:
+            train_trg = build_dataloader(cfg, "train", "target",
+                                         start_iteration=start_iteration)
+
+    # phase-compiled steps
+    with_pl = variant != "baseline" and cfg.TRAIN.XMUDA.lambda_pl > 0
+    ema_start = (cfg.TRAIN.PC_MM.ema_start_iter if variant == "mopa"
+                 else max_iteration + 1)
+    step_pre = trainer_mod.make_train_step(cfg, models, with_pl=with_pl,
+                                           with_ema=False, mesh=mesh)
+    step_ema = None
+
+    best_metric_name = "best_{}".format(cfg.VAL.METRIC)
+    best_metric = {"2d": ckpt_data_2d.get(best_metric_name),
+                   "3d": ckpt_data_3d.get(best_metric_name), "xM": None}
+    best_metric_iter = {"2d": -1, "3d": -1, "xM": -1}
+
+    train_metric_logger = MetricLogger(delimiter="  ")
+    val_metric_logger = MetricLogger(delimiter="  ")
+    logger.info("Start training from iteration {}".format(start_iteration))
+
+    src_iter = iter(train_src)
+    trg_iter = iter(train_trg) if has_trg else None
+    end = time.time()
+    eval_dict = {}
+
+    for iteration in range(start_iteration, max_iteration):
+        batch_src = device_batch(next(src_iter))
+        batch_trg = device_batch(next(trg_iter)) if has_trg else batch_src
+
+        if iteration >= ema_start:
+            if step_ema is None:
+                step_ema = trainer_mod.make_train_step(
+                    cfg, models, with_pl=True, with_ema=True, mesh=mesh)
+            state, metrics = step_ema(state, batch_src, batch_trg)
+        else:
+            state, metrics = step_pre(state, batch_src, batch_trg)
+
+        cur_iter = iteration + 1
+        batch_time = time.time() - end
+
+        host_metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        metric_2d.update_mat(host_metrics.pop("cm_src_2d"))
+        metric_3d.update_mat(host_metrics.pop("cm_src_3d"))
+        train_metric_logger.update(
+            time=batch_time,
+            **{k: v for k, v in host_metrics.items() if v.ndim == 0})
+
+        if cur_iter == 1 or (cfg.TRAIN.LOG_PERIOD > 0
+                             and cur_iter % cfg.TRAIN.LOG_PERIOD == 0):
+            logger.info("iter: {:4d}  {}  seg_iou_2d: {:.4f}  seg_iou_3d: {:.4f}".format(
+                cur_iter, str(train_metric_logger),
+                metric_2d.global_avg, metric_3d.global_avg))
+
+        if (ckpt_period > 0 and cur_iter % ckpt_period == 0) \
+                or cur_iter == max_iteration:
+            holder["s"] = state
+            ck2d.save("model_2d_{:06d}".format(cur_iter), iteration=cur_iter,
+                      **{best_metric_name: best_metric["2d"]})
+            ck3d.save("model_3d_{:06d}".format(cur_iter), iteration=cur_iter,
+                      **{best_metric_name: best_metric["3d"]})
+
+        if val_loader is not None and (cur_iter % val_period == 0
+                                       or cur_iter == max_iteration):
+            start_val = time.time()
+            val_metric_logger.reset()
+            eval_dict = validate(cfg, state, models, val_loader,
+                                 val_metric_logger, logger)
+            logger.info("Iteration[{}]-Val {}  total_time: {:.2f}s".format(
+                cur_iter, val_metric_logger.summary_str, time.time() - start_val))
+            holder["s"] = state
+            for modality in ["2d", "3d", "xM"]:
+                name = cfg.VAL.METRIC + "_" + modality
+                if name in val_metric_logger.meters:
+                    cur = val_metric_logger.meters[name].global_avg
+                    if cur_iter >= max_iteration / 2 and (
+                            best_metric[modality] is None
+                            or best_metric[modality] < cur):
+                        best_metric[modality] = cur
+                        best_metric_iter[modality] = cur_iter
+                        if modality in ("2d", "xM"):
+                            ck2d.save("best_val_{}_2d".format(modality), tag=False)
+                        if modality in ("3d", "xM"):
+                            ck3d.save("best_val_{}_3d".format(modality), tag=False)
+        end = time.time()
+
+    for modality in ["2d", "3d", "xM"]:
+        if best_metric[modality] is not None:
+            logger.info("Best val-{}-{} = {:.2f} at iteration {}".format(
+                modality.upper(), cfg.VAL.METRIC, best_metric[modality] * 100,
+                best_metric_iter[modality]))
+
+    if eval_dict and output_dir:
+        out = iou_to_excel(eval_dict, osp.join(output_dir, "val_class_iou.xlsx"),
+                           list(eval_dict.keys()))
+        logger.info("Class-wise IoU saved to {}".format(out))
+    return state, eval_dict
+
+
+def main_common(variant, description, default_cfg):
+    args = parse_args(description, default_cfg)
+    cfg = load_cfg(args)
+    output_dir, run_name, log_file = prepare_output_dir(cfg, args)
+    logger = get_logger(output=log_file, abbrev_name=args.task)
+    logger.info("{} devices available".format(len(jax.devices())))
+    logger.info(args)
+    logger.info("Loaded configuration file {:s}".format(args.config_file))
+
+    assert cfg.MODEL_2D.DUAL_HEAD == cfg.MODEL_3D.DUAL_HEAD
+    if variant != "baseline":
+        # at least one loss on the target domain (reference :743-746)
+        assert (cfg.TRAIN.XMUDA.lambda_xm_src > 0
+                or cfg.TRAIN.XMUDA.lambda_xm_trg > 0
+                or cfg.TRAIN.XMUDA.lambda_pl > 0
+                or cfg.TRAIN.XMUDA.lambda_minent > 0)
+    else:
+        assert cfg.TRAIN.XMUDA.lambda_xm_trg == 0 and cfg.TRAIN.XMUDA.lambda_pl == 0
+    train(cfg, logger, output_dir, run_name, variant=variant)

@@ -1,0 +1,459 @@
+"""Jitted xMUDA/MoPA training step and train state.
+
+TPU-native re-design of the reference training loop
+(``mopa/train/train_xmuda_mopa.py:104-684``). The reference runs, per
+iteration, a host-orchestrated sequence of forwards/backwards with D2H round
+trips; here the entire iteration — source step, target step, SAM consistency,
+VGI insertion + forward, losses, both optimizers, EMA update — is ONE jitted,
+donated function. Cross-modal terms use ``stop_gradient`` exactly where the
+reference calls ``.detach()``, and the two per-model backwards collapse into
+one joint gradient (the cross terms are stop-gradiented, so the joint grads
+equal the reference's separate backwards).
+
+Data parallelism: the step function is written per-shard and wrapped with
+``jax.shard_map`` over a 1-D ``data`` mesh axis — gradients, metrics and
+batch-norm statistics are ``pmean``-ed over ICI; parameters and optimizer
+states are replicated. No other parallelism is needed for this model class
+(see SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from mopa_tpu.common.solver import build_optimizer
+from mopa_tpu.models import losses as L
+from mopa_tpu.models.build import build_model_2d, build_model_3d
+from mopa_tpu.models.metric import confusion_matrix
+from mopa_tpu.models.scn_unet import build_unet_plan
+from mopa_tpu.ops import mixmatch as vgi_ops
+
+
+class TrainState(NamedTuple):
+    params_2d: Any
+    batch_stats_2d: Any
+    opt_2d: Any
+    params_3d: Any
+    batch_stats_3d: Any
+    opt_3d: Any
+    ema_params_2d: Any
+    ema_params_3d: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+def _num_levels(cfg):
+    return int(cfg.MODEL_3D.SCN.num_planes)
+
+
+def build_plan_from_batch(cfg, coords, batch_idx, valid_flat):
+    return build_unet_plan(coords, batch_idx, valid_flat, _num_levels(cfg))
+
+
+class Models(NamedTuple):
+    model_2d: Any
+    model_3d: Any
+    tx_2d: Any
+    tx_3d: Any
+
+
+def build_models(cfg, output_all=None):
+    model_2d, metric_2d = build_model_2d(cfg, output_all=output_all)
+    model_3d, metric_3d = build_model_3d(cfg)
+    optim_cfg = cfg.get("OPTIMIZER")
+    tx_2d = build_optimizer(optim_cfg["MODEL_2D"], cfg)
+    tx_3d = build_optimizer(optim_cfg["MODEL_3D"], cfg)
+    return Models(model_2d, model_3d, tx_2d, tx_3d), (metric_2d, metric_3d)
+
+
+def create_train_state(cfg, models: Models, example_batch, seed=None):
+    """Initialise parameters/optimizers from one example batch (host side)."""
+    seed = cfg.RNG_SEED if seed is None else seed
+    rng = jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
+    k2d, k3d, krest = jax.random.split(rng, 3)
+    b, p = example_batch["img_indices"].shape[:2]
+
+    plan = jax.jit(functools.partial(build_plan_from_batch, cfg))(
+        example_batch["coords"], example_batch["batch_idx"],
+        example_batch["point_valid"].reshape(-1))
+
+    vars_2d = models.model_2d.init(
+        {"params": k2d, "dropout": k2d},
+        jnp.asarray(example_batch["img"]),
+        jnp.asarray(example_batch["img_indices"]),
+        jnp.asarray(example_batch["point_valid"]), train=False)
+    vars_3d = models.model_3d.init(
+        k3d, jnp.asarray(example_batch["feats"]), plan, train=False)
+
+    params_2d = vars_2d["params"]
+    params_3d = vars_3d["params"]
+    return TrainState(
+        params_2d=params_2d,
+        batch_stats_2d=vars_2d.get("batch_stats", {}),
+        opt_2d=models.tx_2d.init(params_2d),
+        params_3d=params_3d,
+        batch_stats_3d=vars_3d.get("batch_stats", {}),
+        opt_3d=models.tx_3d.init(params_3d),
+        # distinct buffers: the donated train step must never see the same
+        # buffer twice (student and teacher start equal but separate)
+        ema_params_2d=jax.tree_util.tree_map(jnp.copy, params_2d),
+        ema_params_3d=jax.tree_util.tree_map(jnp.copy, params_3d),
+        step=jnp.zeros((), jnp.int32),
+        rng=krest,
+    )
+
+
+def _forward_2d(model, params, batch_stats, batch, rng, train, prefix=""):
+    variables = {"params": params, "batch_stats": batch_stats}
+    out, mutated = model.apply(
+        variables,
+        batch[prefix + "img"], batch[prefix + "img_indices"],
+        batch[prefix + "point_valid"] if prefix + "point_valid" in batch
+        else batch["point_valid"],
+        train=train, rngs={"dropout": rng} if train else None,
+        mutable=["batch_stats"] if train else [])
+    return out, (mutated.get("batch_stats", batch_stats) if train else batch_stats)
+
+
+def _forward_3d(model, params, batch_stats, feats, plan, train):
+    variables = {"params": params, "batch_stats": batch_stats}
+    out, mutated = model.apply(variables, feats, plan, train=train,
+                               mutable=["batch_stats"] if train else [])
+    return out, (mutated.get("batch_stats", batch_stats) if train else batch_stats)
+
+
+def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
+                    mesh=None):
+    """Build the jitted per-iteration step for one training phase.
+
+    Static phase flags (trace-time): ``with_pl`` — pseudo-label CE on target;
+    ``with_ema`` — regenerate pseudo-labels with the EMA teacher before the
+    target step (reference :264-335). xm/minent/sam/vgi come from cfg lambdas.
+    """
+    lam = cfg.TRAIN.XMUDA
+    pc_mm = cfg.TRAIN.PC_MM
+    dual_head = bool(cfg.MODEL_2D.DUAL_HEAD)
+    num_classes = int(cfg.MODEL_2D.NUM_CLASSES)
+    class_weights = (jnp.asarray(cfg.TRAIN.CLASS_WEIGHTS, jnp.float32)
+                     if cfg.TRAIN.CLASS_WEIGHTS else None)
+    pl_weights = class_weights if pc_mm.use_class_weights else None
+    with_xm_src = lam.lambda_xm_src > 0
+    with_xm_trg = lam.lambda_xm_trg > 0
+    with_minent = lam.lambda_minent > 0
+    with_sam = pc_mm.lambda_sam_cons > 0
+    with_vgi = pc_mm.lambda_pc_mm > 0
+    mask_budget = int(cfg.TPU.SAM_MASK_BUDGET)
+    ema_alpha = float(pc_mm.ema_alpha_teacher)
+    ema_xm_prob = float(pc_mm.ema_xm_prob)
+    ema_period = max(int(pc_mm.ema_update_period), 1)
+    n_dev = 1 if mesh is None else mesh.shape["data"]
+
+    def pmean(x):
+        if mesh is None:
+            return x
+        return jax.lax.pmean(x, axis_name="data")
+
+    def ema_teacher_labels(state, batch_trg, rng):
+        """EMA pseudo-label regeneration on unaugmented inputs
+        (reference :264-335), fully on device."""
+        b, p = batch_trg["ori_img_indices"].shape[:2]
+        ori_valid = batch_trg["ori_point_valid"]
+        plan = build_plan_from_batch(cfg, batch_trg["ori_coords"],
+                                     batch_trg["ori_batch_idx"],
+                                     ori_valid.reshape(-1))
+        t2d = {"img": batch_trg["ori_img"],
+               "img_indices": batch_trg["ori_img_indices"],
+               "point_valid": ori_valid}
+        out2d, _ = _forward_2d(models.model_2d, state.ema_params_2d,
+                               state.batch_stats_2d, t2d, rng, train=False)
+        out3d, _ = _forward_3d(models.model_3d, state.ema_params_3d,
+                               state.batch_stats_3d, batch_trg["ori_feats"],
+                               plan, train=False)
+        probs_2d = jax.nn.softmax(out2d["seg_logit"], axis=-1)
+        probs_3d = jax.nn.softmax(out3d["seg_logit"], axis=-1)
+        valid_flat = ori_valid.reshape(-1)
+
+        rng_xm, rng_rest = jax.random.split(rng)
+        use_xm = jax.random.uniform(rng_xm) <= ema_xm_prob
+        # entropy-weighted 2D/3D fusion (reference :285-301)
+        rv2 = 1.0 / (L.prob_2_entropy(probs_2d) + 1e-30)
+        rv3 = 1.0 / (L.prob_2_entropy(probs_3d) + 1e-30)
+        w2 = rv2 / (rv2 + rv3)
+        probs_xm = w2 * probs_2d + (1.0 - w2) * probs_3d
+
+        def refine(probs):
+            from mopa_tpu.data.utils.refine_pseudo_labels import \
+                refine_pseudo_labels_jax
+
+            conf = jnp.max(probs, axis=-1)
+            lab = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            return refine_pseudo_labels_jax(conf, lab, valid_flat, num_classes)
+
+        ps_xm = refine(probs_xm)
+        ps_2d_s = refine(probs_2d)
+        ps_3d_s = refine(probs_3d)
+        ps_2d = jnp.where(use_xm, ps_xm, ps_2d_s)
+        ps_3d = jnp.where(use_xm, ps_xm, ps_3d_s)
+
+        # gather teacher labels onto the student (augmented) points
+        emap = batch_trg["ema_map"]  # (B, P) index into this sample's ori pts
+        base = jnp.arange(b, dtype=jnp.int32)[:, None] * p
+        flat_map = jnp.where((emap >= 0) & (emap < p), emap + base, -1).reshape(-1)
+        safe = jnp.clip(flat_map, 0, b * p - 1)
+        pl2 = jnp.where(flat_map >= 0, ps_2d.reshape(-1)[safe], -100)
+        pl3 = jnp.where(flat_map >= 0, ps_3d.reshape(-1)[safe], -100)
+        return pl2, pl3
+
+    def loss_and_metrics(params_2d, params_3d, state, batch_src, batch_trg,
+                         pl_2d, pl_3d, rng):
+        metrics = {}
+        r_src2, r_trg2, r_vgi = jax.random.split(rng, 3)
+        bs2d = state.batch_stats_2d
+        bs3d = state.batch_stats_3d
+
+        # ---------- source ----------
+        src_valid = batch_src["point_valid"].reshape(-1)
+        src_plan = build_plan_from_batch(cfg, batch_src["coords"],
+                                         batch_src["batch_idx"], src_valid)
+        src_2d, bs2d = _forward_2d(models.model_2d, params_2d, bs2d,
+                                   batch_src, r_src2, train=True)
+        src_3d, bs3d = _forward_3d(models.model_3d, params_3d, bs3d,
+                                   batch_src["feats"], src_plan, train=True)
+        seg_label_src = batch_src["seg_label"]
+        loss_src_2d = L.cross_entropy(src_2d["seg_logit"], seg_label_src,
+                                      src_valid & (seg_label_src >= 0),
+                                      class_weights)
+        loss_src_3d = L.cross_entropy(src_3d["seg_logit"], seg_label_src,
+                                      src_valid & (seg_label_src >= 0),
+                                      class_weights)
+        metrics["loss_src_2d"] = loss_src_2d
+        metrics["loss_src_3d"] = loss_src_3d
+        total = loss_src_2d + loss_src_3d
+
+        if with_xm_src:
+            s2 = src_2d["seg_logit2"] if dual_head else src_2d["seg_logit"]
+            s3 = src_3d["seg_logit2"] if dual_head else src_3d["seg_logit"]
+            xm_src_2d = L.xm_kl_div(s2, jax.lax.stop_gradient(src_3d["seg_logit"]),
+                                    src_valid)
+            xm_src_3d = L.xm_kl_div(s3, jax.lax.stop_gradient(src_2d["seg_logit"]),
+                                    src_valid)
+            metrics["xm_loss_src_2d"] = xm_src_2d
+            metrics["xm_loss_src_3d"] = xm_src_3d
+            total = total + lam.lambda_xm_src * (xm_src_2d + xm_src_3d)
+
+        metrics["cm_src_2d"] = confusion_matrix(src_2d["seg_logit"],
+                                                seg_label_src, src_valid,
+                                                num_classes)
+        metrics["cm_src_3d"] = confusion_matrix(src_3d["seg_logit"],
+                                                seg_label_src, src_valid,
+                                                num_classes)
+
+        # ---------- target ----------
+        trg_valid = batch_trg["point_valid"].reshape(-1)
+        trg_plan = build_plan_from_batch(cfg, batch_trg["coords"],
+                                         batch_trg["batch_idx"], trg_valid)
+        trg_2d, bs2d = _forward_2d(models.model_2d, params_2d, bs2d,
+                                   batch_trg, r_trg2, train=True)
+        trg_3d, bs3d = _forward_3d(models.model_3d, params_3d, bs3d,
+                                   batch_trg["feats"], trg_plan, train=True)
+
+        if with_xm_trg:
+            t2 = trg_2d["seg_logit2"] if dual_head else trg_2d["seg_logit"]
+            t3 = trg_3d["seg_logit2"] if dual_head else trg_3d["seg_logit"]
+            xm_trg_2d = L.xm_kl_div(t2, jax.lax.stop_gradient(trg_3d["seg_logit"]),
+                                    trg_valid)
+            xm_trg_3d = L.xm_kl_div(t3, jax.lax.stop_gradient(trg_2d["seg_logit"]),
+                                    trg_valid)
+            metrics["xm_loss_trg_2d"] = xm_trg_2d
+            metrics["xm_loss_trg_3d"] = xm_trg_3d
+            total = total + lam.lambda_xm_trg * (xm_trg_2d + xm_trg_3d)
+
+        if with_pl:
+            pl_loss_2d = L.cross_entropy(trg_2d["seg_logit"], pl_2d,
+                                         trg_valid & (pl_2d >= 0), pl_weights)
+            pl_loss_3d = L.cross_entropy(trg_3d["seg_logit"], pl_3d,
+                                         trg_valid & (pl_3d >= 0), pl_weights)
+            metrics["pl_loss_trg_2d"] = pl_loss_2d
+            metrics["pl_loss_trg_3d"] = pl_loss_3d
+            total = total + lam.lambda_pl * (pl_loss_2d + pl_loss_3d)
+
+        if with_minent:
+            probs = jax.nn.softmax(trg_2d["seg_logit"], axis=-1)
+            me = L.entropy_loss(probs, trg_valid)
+            probs3 = jax.nn.softmax(trg_3d["seg_logit"], axis=-1)
+            me3 = L.entropy_loss(probs3, trg_valid)
+            metrics["minent_2d"] = me
+            metrics["minent_3d"] = me3
+            total = total + lam.lambda_minent * (me + me3)
+
+        if with_sam:
+            probs_all = jax.nn.softmax(trg_2d["seg_logit_all"], axis=-1)
+            sam = L.mask_cons_loss(probs_all, batch_trg["sam_mask"],
+                                   mask_budget, min_entropy=True)
+            metrics["sam_cons_loss"] = sam
+            total = total + pc_mm.lambda_sam_cons * sam
+
+        if with_vgi:
+            cat = vgi_ops.vgi_insert_batch(cfg, batch_trg, pl_3d, r_vgi)
+            cat_plan = build_plan_from_batch(cfg, cat["coords"],
+                                             cat["batch_idx"], cat["valid"])
+            cat_3d, bs3d = _forward_3d(models.model_3d, params_3d, bs3d,
+                                       cat["feats"], cat_plan, train=True)
+            cat_mask = cat["valid"] & (cat["label"] >= 0)
+            vgi_loss = L.cross_entropy(cat_3d["seg_logit"], cat["label"],
+                                       cat_mask, pl_weights)
+            obj_sel = cat["obj_mask"] & cat["valid"]
+            obj_pred = jnp.argmax(cat_3d["seg_logit"], axis=-1)
+            obj_acc = (jnp.sum((obj_pred == cat["label"]) & obj_sel)
+                       / jnp.maximum(jnp.sum(obj_sel), 1))
+            metrics["pc_mm_loss"] = vgi_loss
+            metrics["pc_mm_acc"] = obj_acc
+            metrics["vgi_inserted"] = jnp.sum(obj_sel.astype(jnp.int32))
+            total = total + pc_mm.lambda_pc_mm * vgi_loss
+
+        return total, (metrics, bs2d, bs3d)
+
+    def train_step(state: TrainState, batch_src: Dict, batch_trg: Dict):
+        rng, step_rng, ema_rng = jax.random.split(state.rng, 3)
+
+        if with_ema:
+            pl_2d, pl_3d = ema_teacher_labels(state, batch_trg, ema_rng)
+        elif with_pl:
+            pl_2d = batch_trg["pseudo_label_2d"]
+            pl_3d = batch_trg["pseudo_label_3d"]
+        else:
+            pl_2d = pl_3d = None
+
+        grad_fn = jax.value_and_grad(loss_and_metrics, argnums=(0, 1),
+                                     has_aux=True)
+        (loss, (metrics, bs2d, bs3d)), (g2d, g3d) = grad_fn(
+            state.params_2d, state.params_3d, state, batch_src, batch_trg,
+            pl_2d, pl_3d, step_rng)
+
+        g2d = pmean(g2d)
+        g3d = pmean(g3d)
+        bs2d = jax.tree_util.tree_map(pmean, bs2d)
+        bs3d = jax.tree_util.tree_map(pmean, bs3d)
+        def reduce_metric(v):
+            if mesh is None:
+                return v
+            if jnp.issubdtype(v.dtype, jnp.integer):
+                return jax.lax.psum(v, axis_name="data")
+            return jax.lax.pmean(v, axis_name="data")
+
+        metrics = {k: reduce_metric(v) for k, v in metrics.items()}
+        metrics["total_loss"] = pmean(loss)
+
+        upd_2d, opt_2d = models.tx_2d.update(g2d, state.opt_2d, state.params_2d)
+        params_2d = optax.apply_updates(state.params_2d, upd_2d)
+        upd_3d, opt_3d = models.tx_3d.update(g3d, state.opt_3d, state.params_3d)
+        params_3d = optax.apply_updates(state.params_3d, upd_3d)
+
+        if with_ema:
+            do_update = (state.step % ema_period) == 0
+            decay = jnp.where(do_update, ema_alpha, 1.0)
+            ema_2d = jax.tree_util.tree_map(
+                lambda e, q: decay * e + (1.0 - decay) * q,
+                state.ema_params_2d, params_2d)
+            ema_3d = jax.tree_util.tree_map(
+                lambda e, q: decay * e + (1.0 - decay) * q,
+                state.ema_params_3d, params_3d)
+        else:
+            # pre-EMA phase: teacher tracks the student exactly, so the EMA
+            # phase starts from the current weights (reference creates the
+            # teacher lazily at ema_start_iter from the live model, :219-226)
+            ema_2d, ema_3d = params_2d, params_3d
+
+        new_state = TrainState(
+            params_2d=params_2d, batch_stats_2d=bs2d, opt_2d=opt_2d,
+            params_3d=params_3d, batch_stats_3d=bs3d, opt_3d=opt_3d,
+            ema_params_2d=ema_2d, ema_params_3d=ema_3d,
+            step=state.step + 1, rng=rng)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    from jax import shard_map
+
+    batch_specs = P("data")
+    step_sharded = shard_map(
+        train_step, mesh=mesh,
+        in_specs=(P(), batch_specs, batch_specs),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(step_sharded, donate_argnums=(0,))
+
+
+class CheckpointAdapter:
+    """Bridges TrainState to the reference's two-stream .pth checkpoints.
+
+    Stream '_2d' holds {model, optimizer, scheduler} of the 2D net; '_3d'
+    likewise (reference CheckpointerV2 usage at train_xmuda_mopa.py:140-155).
+    States are stored as flattened name->numpy dicts via torch_compat.
+    """
+
+    def __init__(self, which: str, get_state, set_state):
+        assert which in ("2d", "3d")
+        self.which = which
+        self.get_state = get_state
+        self.set_state = set_state
+
+    def state_dict(self):
+        from mopa_tpu.models.torch_compat import flatten_pytree
+
+        state: TrainState = self.get_state()
+        if self.which == "2d":
+            return {
+                "model": flatten_pytree({"params": state.params_2d,
+                                         "batch_stats": state.batch_stats_2d}),
+                "optimizer": flatten_pytree(state.opt_2d),
+                "scheduler": {"last_epoch": int(state.step)},
+                "ema": flatten_pytree(state.ema_params_2d),
+            }
+        return {
+            "model": flatten_pytree({"params": state.params_3d,
+                                     "batch_stats": state.batch_stats_3d}),
+            "optimizer": flatten_pytree(state.opt_3d),
+            "scheduler": {"last_epoch": int(state.step)},
+            "ema": flatten_pytree(state.ema_params_3d),
+        }
+
+    def load_state_dict(self, ckpt, resume_states=True):
+        from mopa_tpu.models.torch_compat import unflatten_into
+
+        state: TrainState = self.get_state()
+        updates = {}
+        model = ckpt.get("model", {})
+        if self.which == "2d":
+            merged = unflatten_into({"params": state.params_2d,
+                                     "batch_stats": state.batch_stats_2d}, model)
+            updates["params_2d"] = merged["params"]
+            updates["batch_stats_2d"] = merged["batch_stats"]
+            if "ema" in ckpt and resume_states:
+                updates["ema_params_2d"] = unflatten_into(state.ema_params_2d,
+                                                          ckpt["ema"])
+            if "optimizer" in ckpt and resume_states:
+                updates["opt_2d"] = unflatten_into(state.opt_2d, ckpt["optimizer"])
+        else:
+            merged = unflatten_into({"params": state.params_3d,
+                                     "batch_stats": state.batch_stats_3d}, model)
+            updates["params_3d"] = merged["params"]
+            updates["batch_stats_3d"] = merged["batch_stats"]
+            if "ema" in ckpt and resume_states:
+                updates["ema_params_3d"] = unflatten_into(state.ema_params_3d,
+                                                          ckpt["ema"])
+            if "optimizer" in ckpt and resume_states:
+                updates["opt_3d"] = unflatten_into(state.opt_3d, ckpt["optimizer"])
+        if "iteration" in ckpt:
+            updates["step"] = jnp.asarray(ckpt["iteration"], jnp.int32)
+        self.set_state(state._replace(**updates))
+        return {k: v for k, v in ckpt.items()
+                if k not in ("model", "optimizer", "scheduler", "ema")}

@@ -1,0 +1,147 @@
+"""Tests for ground fitting, KNN post-processing, on-device projection and
+the jittable VGI insertion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mopa_tpu.ops import ground, knn, mixmatch, projection
+
+
+def test_estimate_ground_plane_scene():
+    rng = np.random.default_rng(0)
+    n_g, n_o = 3000, 800
+    gx = rng.uniform(2, 60, n_g)
+    gtheta = rng.uniform(-np.pi, np.pi, n_g)
+    gpts = np.stack([gx * np.cos(gtheta), gx * np.sin(gtheta),
+                     rng.normal(-1.73, 0.02, n_g)], 1)
+    # boxes above the ground
+    opts = np.stack([rng.uniform(5, 30, n_o), rng.uniform(-10, 10, n_o),
+                     rng.uniform(-1.0, 2.0, n_o)], 1)
+    pts = np.concatenate([gpts, opts]).astype(np.float32)
+    valid = np.ones(pts.shape[0], bool)
+    mask = np.asarray(ground.estimate_ground(jnp.asarray(pts), jnp.asarray(valid)))
+    g_recall = mask[:n_g].mean()
+    obj_fp = mask[n_g:].mean()
+    assert g_recall > 0.85, g_recall
+    assert obj_fp < 0.1, obj_fp
+
+
+def test_knn_majority_vote_smooths_outlier():
+    h, w = 8, 16
+    proj_range = np.full((h, w), 10.0, np.float32)
+    proj_label = np.full((h, w), 2, np.int32)
+    proj_label[4, 8] = 7  # lone wrong label
+    # 9 points at ~10m around pixel (4, 8)
+    px = np.array([8, 7, 9, 8, 8, 7, 9, 7, 9], np.int32)
+    py = np.array([4, 4, 4, 3, 5, 3, 5, 5, 3], np.int32)
+    unproj_range = np.full(9, 10.0, np.float32)
+    valid = np.ones(9, bool)
+    out = np.asarray(knn.knn_postprocess(
+        jnp.asarray(proj_range), jnp.asarray(unproj_range),
+        jnp.asarray(proj_label), jnp.asarray(px), jnp.asarray(py),
+        jnp.asarray(valid), nclasses=8))
+    # the point at the outlier pixel gets voted to the neighborhood label
+    assert out[0] == 2
+    assert np.all(out == 2)
+
+
+def test_occlusion_removal_matches_host():
+    from mopa_tpu.data.utils.augmentation_3d import range_projection
+
+    rng = np.random.default_rng(1)
+    n = 500
+    pts = np.stack([rng.uniform(3, 40, n),
+                    rng.uniform(-8, 8, n),
+                    rng.uniform(-1.5, 1.5, n)], 1).astype(np.float32)
+    obj_mask = np.zeros(n, bool)
+    obj_mask[:60] = True
+    pts4 = np.concatenate([pts, np.ones((n, 1), np.float32)], 1)
+    host = range_projection(pts4, 0.05235, -0.43633, 256, 32,
+                            obj_mask=obj_mask)["pres_idx"]
+    dev = np.asarray(projection.occlusion_removal(
+        jnp.asarray(pts), jnp.ones(n, bool), jnp.asarray(obj_mask),
+        0.05235, -0.43633, 256, 32))
+    # identical up to depth ties (host keeps lexsort-first, device keeps
+    # first-index; both keep exactly one per contested pixel)
+    agree = (host == dev).mean()
+    assert agree > 0.99, agree
+
+
+def test_vgi_insert_sample_places_on_ground():
+    rng = np.random.default_rng(2)
+    n = 2000
+    # flat ground scene in front (x fwd)
+    gx = rng.uniform(2, 40, n)
+    gy = gx * rng.uniform(-0.45, 0.45, n)
+    pts = np.stack([gx, gy, np.full(n, -1.7)], 1).astype(np.float32)
+    pts4 = np.concatenate([pts, np.ones((n, 1), np.float32)], 1)
+    pvalid = np.ones(n, bool)
+    g_mask = np.ones(n, bool)
+    ps_label = np.full(n, -100, np.int32)
+    m = 200
+    obj = np.concatenate([
+        np.stack([rng.uniform(4, 5, m), rng.uniform(-0.5, 0.5, m),
+                  rng.uniform(-1.7, -0.2, m)], 1),
+        np.ones((m, 1))], 1).astype(np.float32)
+    ovalid = np.ones(m, bool)
+    proj = np.array([[300, 0, 240, 0], [0, 300, 150, 0], [0, 0, 1, 0]],
+                    np.float32)
+    # lidar x fwd -> cam z fwd basis
+    basis = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]],
+                     np.float32)
+    proj = proj @ basis
+    img_size = np.array([480, 302], np.int32)
+
+    out = jax.jit(lambda k: mixmatch.vgi_insert_sample(
+        jnp.asarray(pts4), jnp.asarray(pvalid), jnp.asarray(ps_label),
+        jnp.asarray(g_mask), jnp.asarray(obj), jnp.asarray(ovalid),
+        jnp.asarray(3), jnp.asarray(proj), jnp.asarray(img_size), k,
+        voxel_size=0.5, search_range=(25.0, 25.0), z_min=-2.0,
+        front_axis_x=True))(jax.random.PRNGKey(0))
+    assert bool(out["inserted"])
+    new_obj = np.asarray(out["new_obj"])
+    # object stays object-shaped (rigid transform): extents preserved
+    ext_old = obj[:, :3].max(0) - obj[:, :3].min(0)
+    ext_new = new_obj.max(0) - new_obj.min(0)
+    np.testing.assert_allclose(np.linalg.norm(ext_old[:2]),
+                               np.linalg.norm(ext_new[:2]), rtol=0.05)
+    np.testing.assert_allclose(ext_old[2], ext_new[2], rtol=1e-3)
+    # placed near the ground plane and farther than the original
+    assert new_obj[:, 2].min() > -1.9 and new_obj[:, 2].min() < -1.4
+    r_new = np.linalg.norm((new_obj.max(0) + new_obj.min(0))[:2] / 2)
+    r_old = np.linalg.norm((obj[:, :3].max(0) + obj[:, :3].min(0))[:2] / 2)
+    assert r_new >= r_old * 0.95
+    # orientation preserved: azimuthal extent similar after cylinder move
+    # (checked implicitly by extent preservation above)
+
+
+def test_vgi_insert_respects_collisions():
+    # scene fully occupied near ground level -> no valid insertion:
+    # one point at the center of EVERY 0.5m voxel in the search window
+    xs = np.arange(0.25, 25.0, 0.5)
+    ys = np.arange(-24.75, 25.0, 0.5)
+    zs = np.arange(-1.75, 0.5, 0.5)
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    gx, gy, gz = gx.ravel(), gy.ravel(), gz.ravel()
+    n = gx.shape[0]
+    rng = np.random.default_rng(3)
+    pts4 = np.stack([gx, gy, gz, np.ones(n)], 1).astype(np.float32)
+    pvalid = np.ones(n, bool)
+    g_mask = np.ones(n, bool)
+    ps_label = np.full(n, -100, np.int32)
+    m = 100
+    obj = np.concatenate([
+        np.stack([rng.uniform(3, 4, m), rng.uniform(-0.5, 0.5, m),
+                  rng.uniform(-1.7, -0.7, m)], 1), np.ones((m, 1))], 1
+    ).astype(np.float32)
+    proj = np.array([[300, 0, 240, 0], [0, 300, 150, 0], [0, 0, 1, 0]],
+                    np.float32) @ np.array(
+        [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]], np.float32)
+    out = jax.jit(lambda k: mixmatch.vgi_insert_sample(
+        jnp.asarray(pts4), jnp.asarray(pvalid), jnp.asarray(ps_label),
+        jnp.asarray(g_mask), jnp.asarray(obj), jnp.ones(m, bool),
+        jnp.asarray(3), jnp.asarray(proj), jnp.asarray(np.array([480, 302])),
+        k, voxel_size=0.5, search_range=(25.0, 25.0), z_min=-2.0,
+        front_axis_x=True))(jax.random.PRNGKey(1))
+    assert not bool(out["inserted"])
