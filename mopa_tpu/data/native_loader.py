@@ -1,0 +1,146 @@
+"""ctypes bindings for the native C++ data-loader core.
+
+Loads ``native/libmopa_loader.so`` (built by ``tools/build_native.sh``; see
+``native/mopa_loader.cpp``) and exposes the host hot-path ops: raw scan IO,
+frustum projection, augment+scale and voxel dedup. Every function has a
+numpy fallback so the framework runs without the native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os.path as osp
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so = osp.join(osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))),
+                  "native", "libmopa_loader.so")
+    if not osp.exists(so):
+        # one-shot lazy build; stays None on failure (fallback path)
+        script = osp.join(osp.dirname(osp.dirname(so)), "tools",
+                          "build_native.sh")
+        try:
+            subprocess.run(["bash", script], check=True, capture_output=True,
+                           timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.mopa_read_scan.restype = ctypes.c_int
+    lib.mopa_read_labels.restype = ctypes.c_int
+    lib.mopa_voxel_dedup.restype = ctypes.c_int
+    lib.mopa_augment_scale.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _ptr(a, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def read_scan(path: str, capacity: int = 200000) -> np.ndarray:
+    """(N, 4) float32 xyzi."""
+    lib = _lib()
+    if lib is None:
+        return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    buf = np.empty((capacity, 4), np.float32)
+    n = lib.mopa_read_scan(path.encode(), _ptr(buf, ctypes.c_float), capacity)
+    if n < 0:
+        raise IOError("cannot read scan " + path)
+    return buf[:n]
+
+
+def read_labels(path: str, capacity: int = 200000) -> np.ndarray:
+    """(N,) int32 semantic ids (lower 16 bits)."""
+    lib = _lib()
+    if lib is None:
+        lab = np.fromfile(path, dtype=np.uint32)
+        return (lab & 0xFFFF).astype(np.int32)
+    buf = np.empty(capacity, np.int32)
+    n = lib.mopa_read_labels(path.encode(), _ptr(buf, ctypes.c_int32), capacity)
+    if n < 0:
+        raise IOError("cannot read labels " + path)
+    return buf[:n]
+
+
+def frustum_project(points_xyzi: np.ndarray, proj_3x4: np.ndarray,
+                    img_w: int, img_h: int):
+    """((N, 2) float32 (row, col), (N,) bool keep)."""
+    lib = _lib()
+    pts = np.ascontiguousarray(points_xyzi, np.float32)
+    n = pts.shape[0]
+    if lib is None:
+        hom = np.concatenate([pts[:, :3], np.ones((n, 1), np.float32)], 1)
+        uvw = hom @ np.asarray(proj_3x4, np.float32).T
+        w = uvw[:, 2]
+        uv = uvw[:, :2] / np.where(np.abs(w[:, None]) > 1e-9, w[:, None], 1e-9)
+        rc = np.stack([uv[:, 1], uv[:, 0]], 1).astype(np.float32)
+        keep = ((pts[:, 0] > 0) & (w > 0) & (uv[:, 0] > 0) & (uv[:, 0] < img_w)
+                & (uv[:, 1] > 0) & (uv[:, 1] < img_h))
+        return rc, keep
+    rc = np.empty((n, 2), np.float32)
+    keep = np.empty(n, np.uint8)
+    proj = np.ascontiguousarray(proj_3x4, np.float32)
+    lib.mopa_frustum_project(_ptr(pts, ctypes.c_float), n,
+                             _ptr(proj, ctypes.c_float), img_w, img_h,
+                             _ptr(rc, ctypes.c_float), _ptr(keep, ctypes.c_uint8))
+    return rc, keep.astype(bool)
+
+
+def augment_scale(points_xyz: np.ndarray, rot_3x3, scale: float,
+                  full_scale: int, transl_3):
+    """((N, 3) int32 coords, (N,) bool in-receptive-field)."""
+    lib = _lib()
+    pts = np.ascontiguousarray(points_xyz, np.float32)
+    n = pts.shape[0]
+    rot = np.ascontiguousarray(rot_3x3, np.float32)
+    transl = np.ascontiguousarray(transl_3, np.float32)
+    if lib is None:
+        c = np.rint(pts @ rot * scale)
+        mn, mx = c.min(0), c.max(0)
+        off = -mn + np.clip(full_scale - (mx - mn) - 0.001, 0, None) * transl
+        c = (c + off).astype(np.int32)
+        keep = (c.min(1) >= 0) & (c.max(1) < full_scale)
+        return c, keep
+    coords = np.empty((n, 3), np.int32)
+    keep = np.empty(n, np.uint8)
+    lib.mopa_augment_scale(_ptr(pts, ctypes.c_float), n,
+                           _ptr(rot, ctypes.c_float), ctypes.c_float(scale),
+                           full_scale, _ptr(transl, ctypes.c_float),
+                           _ptr(coords, ctypes.c_int32),
+                           _ptr(keep, ctypes.c_uint8))
+    return coords, keep.astype(bool)
+
+
+def voxel_dedup(coords: np.ndarray, capacity: int | None = None):
+    """torchsparse sparse_quantize semantics: (index (U,), inverse (N,))."""
+    lib = _lib()
+    c = np.ascontiguousarray(coords, np.int32)
+    n = c.shape[0]
+    capacity = capacity or n
+    if lib is None:
+        _, index, inverse = np.unique(c, axis=0, return_index=True,
+                                      return_inverse=True)
+        return index.astype(np.int32), inverse.astype(np.int32)
+    index = np.empty(capacity, np.int32)
+    inverse = np.empty(n, np.int32)
+    u = lib.mopa_voxel_dedup(_ptr(c, ctypes.c_int32), n,
+                             _ptr(index, ctypes.c_int32),
+                             _ptr(inverse, ctypes.c_int32), capacity)
+    return index[:u], inverse

@@ -187,13 +187,15 @@ class SemanticKITTISCN(SemanticKITTIBase):
 
     # ----- loading -----
     def data_extraction(self, index):
-        """Read scan/label/aux files for one frame (reference :340-403)."""
+        """Read scan/label/aux files for one frame (reference :340-403).
+        Raw IO goes through the native loader core when built."""
+        from mopa_tpu.data import native_loader as nl
+
         data_dict = dict(self.data[index])
-        scan = np.fromfile(data_dict["lidar_path"], dtype=np.float32).reshape(-1, 4)
+        scan = nl.read_scan(data_dict["lidar_path"])
         points = scan[:, :3]
         feats = scan[:, 3]
-        label = np.fromfile(data_dict["label_path"], dtype=np.uint32).reshape(-1)
-        label = label & 0xFFFF  # semantic lower half
+        label = nl.read_labels(data_dict["label_path"])
 
         z_idx = points[:, 2] > -3
         points, feats, label = points[z_idx], feats[z_idx], label[z_idx]
