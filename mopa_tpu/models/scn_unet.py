@@ -179,14 +179,16 @@ class SparseUNet(nn.Module):
             # down: BNLeakyReLU -> Convolution(p -> q, k2 s2)
             y = _BN(p, name=f"l{l}_bn_down")(x, lv.valid, train)
             w_down = self.param(f"l{l}_down", _conv_init, (8, p, q))
-            y = sc.strided_conv(y, nxt.down_nbr, w_down)
+            y = sc.strided_conv(y, nxt.down_nbr, w_down, f2c=nxt.f2c,
+                                up_off=nxt.up_off, fine_valid=lv.valid)
 
             y = self._level(l + 1, y, plan, planes, train)
 
             # up: BNLeakyReLU -> Deconvolution(q -> p, k2 s2)
             y = _BN(q, name=f"l{l}_bn_up")(y, nxt.valid, train)
             w_up = self.param(f"l{l}_up", _conv_init, (8, q, p))
-            y = sc.deconv(y, nxt.f2c, nxt.up_off, w_up, lv.valid)
+            y = sc.deconv(y, nxt.f2c, nxt.up_off, w_up, lv.valid,
+                          down_nbr=nxt.down_nbr)
 
             # join + fuse: BNLeakyReLU(2p) -> SubConv(2p -> p)
             x = jnp.concatenate([skip, y], axis=-1)

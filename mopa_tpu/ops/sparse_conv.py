@@ -44,16 +44,39 @@ def build_submanifold_plan(table: voxel_ops.VoxelTable, kernel_size: int = 3) ->
     """Neighbour map for a submanifold conv: (V, K) slot indices, -1 = miss.
 
     Active output sites == active input sites (the submanifold property).
+
+    The voxel table is sorted with z fastest, so the ``kz`` neighbours of one
+    (dx, dy) column are adjacent in sorted order: ONE binary search per
+    (dx, dy) for the smallest z offset, then the remaining z offsets resolve
+    with local key compares at the following slots — 9 searches instead of 27.
     """
-    offs = jnp.asarray(kernel_offsets(kernel_size))  # (K, 3)
-    k = offs.shape[0]
+    kz = kernel_size
+    r = range(-(kernel_size // 2), kernel_size // 2 + 1)
+    offs_xy = [(dx, dy) for dx in r for dy in r]
     v = table.capacity
     valid = table.valid_mask()
-    q_coords = (table.coords[:, None, :] + offs[None, :, :]).reshape(v * k, 3)
-    q_batch = jnp.repeat(table.batch, k)
-    q_valid = jnp.repeat(valid, k)
-    nbr = voxel_ops.lookup(table, q_coords, q_batch, q_valid)
-    return nbr.reshape(v, k)
+    z0 = -(kernel_size // 2)
+    cols = []
+    for dx, dy in offs_xy:
+        q = table.coords + jnp.asarray([dx, dy, z0], jnp.int32)
+        xy_ok = ((q[:, 0] >= 0) & (q[:, 0] < voxel_ops.SHIFT)
+                 & (q[:, 1] >= 0) & (q[:, 1] < voxel_ops.SHIFT))
+        q_hi, q_lo = voxel_ops.pack_keys(q, table.batch, valid)
+        pos = voxel_ops.lex_searchsorted(table.key_hi, table.key_lo, q_hi, q_lo)
+        # targets z0..z0+kz-1 share q_hi and have consecutive lo keys, so all
+        # matches lie within the next kz+1 sorted slots (one extra covers a
+        # possible alias entry when z0 underflows the packing).
+        cand = jnp.clip(pos[:, None] + jnp.arange(kz + 1)[None, :], 0, v - 1)
+        c_hi = table.key_hi[cand]  # (V, kz+1)
+        c_lo = table.key_lo[cand]
+        qz = table.coords[:, 2] + z0
+        for j in range(kz):
+            t_lo = q_lo + j
+            zj_ok = (qz + j >= 0) & (qz + j < voxel_ops.SHIFT) & valid & xy_ok
+            hit = (c_hi == q_hi[:, None]) & (c_lo == t_lo[:, None])
+            slot = jnp.max(jnp.where(hit, cand, -1), axis=1)
+            cols.append(jnp.where(zj_ok, slot, -1))
+    return jnp.stack(cols, axis=1)  # (V, 27), dz fastest within each (dx, dy)
 
 
 def build_down_plan(fine: voxel_ops.VoxelTable, coarse: voxel_ops.VoxelTable) -> jax.Array:
@@ -61,16 +84,27 @@ def build_down_plan(fine: voxel_ops.VoxelTable, coarse: voxel_ops.VoxelTable) ->
 
     Output site c gathers input sites at ``2*c + o`` for o in {0,1}^3.
     """
-    offs = jnp.asarray(
-        np.asarray(list(itertools.product((0, 1), repeat=3)), dtype=np.int32)
-    )  # (8, 3), dx slowest
     vc = coarse.capacity
+    v = fine.capacity
     valid = coarse.valid_mask()
-    q_coords = (2 * coarse.coords[:, None, :] + offs[None, :, :]).reshape(vc * 8, 3)
-    q_batch = jnp.repeat(coarse.batch, 8)
-    q_valid = jnp.repeat(valid, 8)
-    nbr = voxel_ops.lookup(fine, q_coords, q_batch, q_valid)
-    return nbr.reshape(vc, 8)
+    cols = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            q = 2 * coarse.coords + jnp.asarray([dx, dy, 0], jnp.int32)
+            q_hi, q_lo = voxel_ops.pack_keys(q, coarse.batch, valid)
+            pos = voxel_ops.lex_searchsorted(fine.key_hi, fine.key_lo,
+                                             q_hi, q_lo)
+            cand = jnp.clip(pos[:, None] + jnp.arange(3)[None, :], 0, v - 1)
+            c_hi = fine.key_hi[cand]
+            c_lo = fine.key_lo[cand]
+            for dz in (0, 1):
+                t_lo = q_lo + dz
+                ok = valid & (2 * coarse.coords[:, 2] + dz < voxel_ops.SHIFT) \
+                    & (q[:, 0] < voxel_ops.SHIFT) & (q[:, 1] < voxel_ops.SHIFT)
+                hit = (c_hi == q_hi[:, None]) & (c_lo == t_lo[:, None])
+                slot = jnp.max(jnp.where(hit, cand, -1), axis=1)
+                cols.append(jnp.where(ok, slot, -1))
+    return jnp.stack(cols, axis=1)  # (Vc, 8), dz fastest
 
 
 def up_offset_index(fine: voxel_ops.VoxelTable) -> jax.Array:
@@ -87,48 +121,176 @@ def _masked_take(feats: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.where((idx >= 0)[:, None], out, 0.0)
 
 
+def _gather_concat(feats: jax.Array, nbr: jax.Array) -> jax.Array:
+    """One fused gather of all K neighbours: (V, K*C).
+
+    A single big take keeps the TPU gather units busy and feeds ONE
+    MXU-friendly (V, K*C) x (K*C, Cout) GEMM instead of K skinny ones.
+    """
+    v, k = nbr.shape
+    flat = nbr.reshape(v * k)
+    safe = jnp.clip(flat, 0, feats.shape[0] - 1)
+    g = feats[safe]
+    g = jnp.where((flat >= 0)[:, None], g, 0.0)
+    return g.reshape(v, k * feats.shape[1])
+
+
+def _conv_fwd_impl(feats, weight, nbr):
+    k, cin, cout = weight.shape
+    gathered = _gather_concat(feats, nbr)  # (V, K*Cin)
+    w2d = weight.reshape(k * cin, cout).astype(feats.dtype)
+    return jnp.dot(gathered, w2d, preferred_element_type=feats.dtype), gathered
+
+
+@jax.custom_vjp
+def _submanifold_conv(feats, weight, nbr):
+    out, _ = _conv_fwd_impl(feats, weight, nbr)
+    return out
+
+
+def _submanifold_fwd(feats, weight, nbr):
+    out, gathered = _conv_fwd_impl(feats, weight, nbr)
+    return out, (feats, weight, nbr, gathered)
+
+
+def _submanifold_bwd(res, g):
+    """Scatter-free backward.
+
+    The submanifold property (output sites == input sites) makes the conv
+    transpose another gather-GEMM over the SAME neighbour map with offsets
+    reversed: u is v's neighbour at offset o iff v is u's neighbour at -o,
+    and kernel_offsets enumerates symmetrically (offsets[K-1-k] == -offsets[k]).
+    XLA scatter-adds with colliding indices serialise on TPU; this avoids
+    them entirely.
+    """
+    feats, weight, nbr, gathered = res
+    k, cin, cout = weight.shape
+    g = g.astype(feats.dtype)
+    # d_weight[k] = gathered_k^T @ g  -> one (K*Cin, V) x (V, Cout) GEMM
+    d_w = jnp.dot(gathered.T, g, preferred_element_type=jnp.float32)
+    d_w = d_w.reshape(k, cin, cout).astype(weight.dtype)
+    # d_feats[u] = sum_k g[nbr[u, K-1-k]] @ weight[k]^T
+    nbr_rev = nbr[:, ::-1]
+    g_gathered = _gather_concat(g, nbr_rev)  # (V, K*Cout)
+    w_t = jnp.transpose(weight, (0, 2, 1)).reshape(k * cout, cin)
+    d_feats = jnp.dot(g_gathered, w_t.astype(g.dtype),
+                      preferred_element_type=feats.dtype)
+    return d_feats.astype(feats.dtype), d_w, None
+
+
+_submanifold_conv.defvjp(_submanifold_fwd, _submanifold_bwd)
+
+
 def submanifold_conv(feats: jax.Array, nbr: jax.Array, weight: jax.Array,
                      bias: jax.Array | None = None) -> jax.Array:
     """out[v] = sum_k feats[nbr[v,k]] @ weight[k]  (misses contribute zero).
 
-    feats: (V, Cin); nbr: (V, K); weight: (K, Cin, Cout).
+    feats: (V, Cin); nbr: (V, K); weight: (K, Cin, Cout). Fused gather + one
+    GEMM forward; custom scatter-free backward.
     """
-    k = nbr.shape[1]
-    cout = weight.shape[-1]
-    # output sites are the rows of the neighbour map (== input sites for
-    # submanifold convs, coarse sites for strided convs)
-    out = jnp.zeros((nbr.shape[0], cout), dtype=feats.dtype)
-    for j in range(k):
-        gathered = _masked_take(feats, nbr[:, j])
-        out = out + jnp.dot(gathered, weight[j].astype(feats.dtype),
-                            preferred_element_type=out.dtype)
+    out = _submanifold_conv(feats, weight, nbr)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
 
 
-def strided_conv(fine_feats: jax.Array, down_nbr: jax.Array, weight: jax.Array) -> jax.Array:
-    """Stride-2 conv: out (Vc, Cout) from fine feats via the (Vc, 8) plan."""
-    return submanifold_conv(fine_feats, down_nbr, weight)
+@jax.custom_vjp
+def _strided_conv(fine_feats, weight, down_nbr, f2c, up_off, fine_valid):
+    out, _ = _conv_fwd_impl(fine_feats, weight, down_nbr)
+    return out
+
+
+def _strided_fwd(fine_feats, weight, down_nbr, f2c, up_off, fine_valid):
+    out, gathered = _conv_fwd_impl(fine_feats, weight, down_nbr)
+    return out, (fine_feats, weight, down_nbr, f2c, up_off, fine_valid, gathered)
+
+
+def _strided_bwd(res, g):
+    """d_fine[f] = g[f2c[f]] @ W[up_off[f]]^T — the deconv access pattern,
+    again no scatters."""
+    fine_feats, weight, down_nbr, f2c, up_off, fine_valid, gathered = res
+    k, cin, cout = weight.shape
+    g = g.astype(fine_feats.dtype)
+    d_w = jnp.dot(gathered.T, g, preferred_element_type=jnp.float32)
+    d_w = d_w.reshape(k, cin, cout).astype(weight.dtype)
+    g_f = _masked_take(g, f2c)  # (Vf, Cout)
+    w_t = jnp.transpose(weight, (0, 2, 1))  # (8, Cout, Cin)
+    w_sel = w_t[jnp.clip(up_off, 0, k - 1)].astype(g.dtype)  # (Vf, Cout, Cin)
+    d_fine = jnp.einsum("vc,vcd->vd", g_f, w_sel)
+    d_fine = jnp.where(fine_valid[:, None], d_fine, 0.0)
+    return d_fine.astype(fine_feats.dtype), d_w, None, None, None, None
+
+
+_strided_conv.defvjp(_strided_fwd, _strided_bwd)
+
+
+def strided_conv(fine_feats: jax.Array, down_nbr: jax.Array, weight: jax.Array,
+                 f2c: jax.Array = None, up_off: jax.Array = None,
+                 fine_valid: jax.Array = None) -> jax.Array:
+    """Stride-2 conv: out (Vc, Cout) from fine feats via the (Vc, 8) plan.
+
+    f2c/up_off/fine_valid enable the scatter-free custom backward; when
+    omitted, falls back to autodiff through the fused gather (scatter-add)."""
+    if f2c is None:
+        out, _ = _conv_fwd_impl(fine_feats, weight, down_nbr)
+        return out
+    return _strided_conv(fine_feats, weight, down_nbr, f2c, up_off, fine_valid)
+
+
+@jax.custom_vjp
+def _deconv(coarse_feats, weight, f2c, up_off, fine_valid, down_nbr):
+    k, cin, cout = weight.shape
+    gathered = _masked_take(coarse_feats, f2c)  # (Vf, Cin)
+    w_sel = weight[jnp.clip(up_off, 0, k - 1)].astype(gathered.dtype)
+    out = jnp.einsum("vc,vcd->vd", gathered, w_sel)
+    return jnp.where(fine_valid[:, None], out, 0.0)
+
+
+def _deconv_fwd(coarse_feats, weight, f2c, up_off, fine_valid, down_nbr):
+    out = _deconv(coarse_feats, weight, f2c, up_off, fine_valid, down_nbr)
+    return out, (coarse_feats, weight, f2c, up_off, fine_valid, down_nbr)
+
+
+def _deconv_bwd(res, g):
+    """d_coarse[c] = sum_o g[down_nbr[c,o]] @ W[o]^T (gather-GEMM via the
+    down plan); d_W[o] = masked coarse[f2c]^T @ g."""
+    coarse_feats, weight, f2c, up_off, fine_valid, down_nbr = res
+    k, cin, cout = weight.shape
+    g = jnp.where(fine_valid[:, None], g, 0.0).astype(coarse_feats.dtype)
+    g_gathered = _gather_concat(g, down_nbr)  # (Vc, K*Cout)
+    w_t = jnp.transpose(weight, (0, 2, 1)).reshape(k * cout, cin)
+    d_coarse = jnp.dot(g_gathered, w_t.astype(g.dtype),
+                       preferred_element_type=coarse_feats.dtype)
+    # d_W: per-offset masked outer products, one GEMM via one-hot expansion
+    gathered = _masked_take(coarse_feats, f2c)  # (Vf, Cin)
+    onehot = jax.nn.one_hot(up_off, k, dtype=g.dtype) \
+        * fine_valid[:, None].astype(g.dtype)  # (Vf, K)
+    # (K, Cin, Cout) = einsum over fine sites
+    d_w = jnp.einsum("vk,vc,vd->kcd", onehot, gathered, g,
+                     preferred_element_type=jnp.float32)
+    return (d_coarse.astype(coarse_feats.dtype), d_w.astype(weight.dtype),
+            None, None, None, None)
+
+
+_deconv.defvjp(_deconv_fwd, _deconv_bwd)
 
 
 def deconv(coarse_feats: jax.Array, fine_to_coarse: jax.Array,
            up_off_idx: jax.Array, weight: jax.Array,
-           fine_valid: jax.Array) -> jax.Array:
+           fine_valid: jax.Array, down_nbr: jax.Array = None) -> jax.Array:
     """Stride-2 transpose conv onto the fine level's active sites.
 
     out[f] = coarse_feats[f2c[f]] @ weight[offset(f)];
-    coarse_feats: (Vc, Cin); weight: (8, Cin, Cout).
-    """
-    gathered = _masked_take(coarse_feats, fine_to_coarse)  # (Vf, Cin)
-    cout = weight.shape[-1]
-    out = jnp.zeros((gathered.shape[0], cout), dtype=gathered.dtype)
-    for o in range(8):
-        sel = (up_off_idx == o) & fine_valid
-        out = out + jnp.dot(jnp.where(sel[:, None], gathered, 0.0),
-                            weight[o].astype(gathered.dtype),
-                            preferred_element_type=out.dtype)
-    return out
+    coarse_feats: (Vc, Cin); weight: (8, Cin, Cout). Passing ``down_nbr``
+    enables the scatter-free custom backward."""
+    if down_nbr is None:
+        k = weight.shape[0]
+        gathered = _masked_take(coarse_feats, fine_to_coarse)
+        w_sel = weight[jnp.clip(up_off_idx, 0, k - 1)].astype(gathered.dtype)
+        out = jnp.einsum("vc,vcd->vd", gathered, w_sel)
+        return jnp.where(fine_valid[:, None], out, 0.0)
+    return _deconv(coarse_feats, weight, fine_to_coarse, up_off_idx,
+                   fine_valid, down_nbr)
 
 
 class BNState(NamedTuple):

@@ -174,3 +174,62 @@ def test_conv_grads_flow():
     assert np.isfinite(np.asarray(gw)).all()
     assert np.isfinite(np.asarray(gf)).all()
     assert float(jnp.abs(gw).sum()) > 0
+
+
+def _naive_submanifold(feats, nbr, w):
+    k = nbr.shape[1]
+    out = jnp.zeros((nbr.shape[0], w.shape[-1]), feats.dtype)
+    for j in range(k):
+        safe = jnp.clip(nbr[:, j], 0, feats.shape[0] - 1)
+        g = jnp.where((nbr[:, j] >= 0)[:, None], feats[safe], 0.0)
+        out = out + g @ w[j]
+    return out
+
+
+def test_custom_vjp_matches_autodiff():
+    rng = np.random.default_rng(7)
+    cin, cout, cmid, cup = 3, 5, 4, 6
+    coords, batch_idx, valid, feats = make_cloud(rng, n=50, cin=cin, scale=8)
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32)
+    w_down = rng.normal(size=(8, cout, cmid)).astype(np.float32)
+    w_up = rng.normal(size=(8, cmid, cup)).astype(np.float32)
+
+    @jax.jit
+    def grads(feats, w, w_down, w_up):
+        table, inverse, counts = voxel.voxelize(coords, batch_idx, valid)
+        vfeats = voxel.pool_features(feats, inverse, counts, table.capacity)
+        nbr = sc.build_submanifold_plan(table)
+        coarse, f2c = voxel.downsample_coords(table, table.capacity)
+        down_nbr = sc.build_down_plan(table, coarse)
+        up_off = sc.up_offset_index(table)
+        fv = table.valid_mask()
+
+        def loss_custom(vf, w, wd, wu):
+            a = sc.submanifold_conv(vf, nbr, w)
+            b = sc.strided_conv(a, down_nbr, wd, f2c=f2c, up_off=up_off,
+                                fine_valid=fv)
+            cdec = sc.deconv(b, f2c, up_off, wu, fv, down_nbr=down_nbr)
+            return jnp.sum(jnp.where(fv[:, None], cdec, 0.0) ** 2)
+
+        def loss_naive(vf, w, wd, wu):
+            a = _naive_submanifold(vf, nbr, w)
+            b = _naive_submanifold(a, down_nbr, wd)
+            safe = jnp.clip(f2c, 0, b.shape[0] - 1)
+            g = jnp.where((f2c >= 0)[:, None], b[safe], 0.0)
+            wsel = wu[jnp.clip(up_off, 0, 7)]
+            cdec = jnp.einsum("vc,vcd->vd", g, wsel)
+            cdec = jnp.where(fv[:, None], cdec, 0.0)
+            return jnp.sum(jnp.where(fv[:, None], cdec, 0.0) ** 2)
+
+        g1 = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(vfeats, w, w_down, w_up)
+        g2 = jax.grad(loss_naive, argnums=(0, 1, 2, 3))(vfeats, w, w_down, w_up)
+        v1 = loss_custom(vfeats, w, w_down, w_up)
+        v2 = loss_naive(vfeats, w, w_down, w_up)
+        return g1, g2, v1, v2
+
+    g1, g2, v1, v2 = grads(jnp.asarray(feats), jnp.asarray(w),
+                           jnp.asarray(w_down), jnp.asarray(w_up))
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-3)

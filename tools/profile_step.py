@@ -20,7 +20,20 @@ def timed(fn, *args, n=5, name=""):
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / n
-    print("{:35s} {:8.1f} ms".format(name, dt * 1000))
+    print("{:35s} {:8.1f} ms".format(name, dt * 1000), flush=True)
+    return dt
+
+
+def timed_state(step, state, *args, n=3, name=""):
+    """Time a donated-state step by threading the new state through."""
+    state, out = step(state, *args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n):
+        state, out = step(state, *args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n
+    print("{:35s} {:8.1f} ms".format(name, dt * 1000), flush=True)
     return dt
 
 
@@ -83,12 +96,11 @@ def main():
     models2, _ = trainer_mod.build_models(c2, output_all=False)
     state2 = trainer_mod.create_train_state(c2, models2, src)
     step2 = trainer_mod.make_train_step(c2, models2, with_pl=True, with_ema=False)
-    timed(lambda s: step2(s, src, trg)[1], state2, n=3,
-          name="step: xm+pl (no vgi/sam)")
+    timed_state(step2, state2, src, trg, name="step: xm+pl (no vgi/sam)")
 
     # 6. full step
     step = trainer_mod.make_train_step(c, models, with_pl=True, with_ema=False)
-    timed(lambda s: step(s, src, trg)[1], state, n=3, name="step: full MoPA")
+    timed_state(step, state, src, trg, name="step: full MoPA")
 
 
 if __name__ == "__main__":
