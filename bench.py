@@ -30,6 +30,10 @@ REF_GPU_SCANS_PER_SEC = 4.0  # estimated reference single-GPU rate (see above)
 def main():
     import jax
 
+    from mopa_tpu.common.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from mopa_tpu.config.xmuda import cfg
     from mopa_tpu.data.build import build_dataloader
     from mopa_tpu.train import trainer as trainer_mod

@@ -1,0 +1,24 @@
+"""Persistent XLA compilation cache.
+
+This environment compiles through a remote service where large programs (the
+fused train step) take tens of minutes; the on-disk cache makes every compile
+one-time per (program, shapes) across processes. Call early, before the first
+jit executes.
+"""
+
+import os
+import os.path as osp
+
+_DEFAULT = osp.join(osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))),
+                    ".jax_cache")
+
+
+def enable_compile_cache(path: str = None):
+    import jax
+
+    path = path or os.environ.get("MOPA_JAX_CACHE", _DEFAULT)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return path

@@ -156,6 +156,17 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
                    "3d": ckpt_data_3d.get(best_metric_name), "xM": None}
     best_metric_iter = {"2d": -1, "3d": -1, "xM": -1}
 
+    # TensorBoard summaries (reference train_xmuda_mopa.py:159-163,615-620)
+    summary_writer = None
+    if output_dir and cfg.TRAIN.SUMMARY_PERIOD > 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            summary_writer = SummaryWriter(
+                osp.join(output_dir, "tb.{:s}".format(run_name)))
+        except ImportError:
+            logger.info("tensorboard unavailable; skipping summaries")
+
     train_metric_logger = MetricLogger(delimiter="  ")
     val_metric_logger = MetricLogger(delimiter="  ")
     logger.info("Start training from iteration {}".format(start_iteration))
@@ -192,6 +203,14 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
             logger.info("iter: {:4d}  {}  seg_iou_2d: {:.4f}  seg_iou_3d: {:.4f}".format(
                 cur_iter, str(train_metric_logger),
                 metric_2d.global_avg, metric_3d.global_avg))
+
+        if summary_writer is not None and cfg.TRAIN.SUMMARY_PERIOD > 0 \
+                and cur_iter % cfg.TRAIN.SUMMARY_PERIOD == 0:
+            keywords = ("loss", "acc", "iou", "ety")
+            for name, meter in train_metric_logger.meters.items():
+                if any(k in name for k in keywords):
+                    summary_writer.add_scalar("train/" + name, meter.avg,
+                                              global_step=cur_iter)
 
         if (ckpt_period > 0 and cur_iter % ckpt_period == 0) \
                 or cur_iter == max_iteration:
@@ -239,6 +258,9 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
 
 
 def main_common(variant, description, default_cfg):
+    from mopa_tpu.common.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args(description, default_cfg)
     cfg = load_cfg(args)
     output_dir, run_name, log_file = prepare_output_dir(cfg, args)

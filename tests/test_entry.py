@@ -1,0 +1,25 @@
+"""Driver entry points compile and run on the CPU mesh."""
+
+import sys
+import os
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_entry_forward():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    out = np.asarray(out)
+    assert out.ndim == 2 and out.shape[1] == 10
+    assert np.isfinite(out).all()
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -11,6 +11,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mopa_tpu.common.cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 def timed(fn, *args, n=5, name=""):
     out = fn(*args)
