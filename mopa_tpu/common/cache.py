@@ -16,6 +16,14 @@ _DEFAULT = osp.join(osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
 def enable_compile_cache(path: str = None):
     import jax
 
+    # CPU executables are AOT-compiled on the remote service with different
+    # machine features than this host (SIGILL risk when reloaded), and local
+    # CPU compiles are fast anyway — cache only the TPU backend.
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:
+        return None
     path = path or os.environ.get("MOPA_JAX_CACHE", _DEFAULT)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -193,29 +193,31 @@ def merge_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
                            jnp.arange(q, dtype=jnp.int32)])
     s_hi, s_lo, s_tag, s_src = jax.lax.sort((hi, lo, tag, src), num_keys=3)
 
+    n = v + q
     first = jnp.concatenate([
         jnp.ones((1,), bool),
         (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
     ])
     is_t = s_tag == 0
-    head_is_t = is_t  # value at run head propagates below
-    head_slot = jnp.where(is_t, s_src, -1)
-
-    def combine(a, b):
-        a_reset, a_t, a_slot = a
-        b_reset, b_t, b_slot = b
-        return (a_reset | b_reset,
-                jnp.where(b_reset, b_t, a_t),
-                jnp.where(b_reset, b_slot, a_slot))
-
-    _, run_t, run_slot = jax.lax.associative_scan(
-        combine, (first, head_is_t, head_slot))
+    # Run-head propagation via three cummaxes (each a single compact HLO op —
+    # an associative_scan here produced an HLO large enough to kill the
+    # compile service):
+    #  * head_any: position of the current run's head,
+    #  * head_t:   position of the last table-entry run head,
+    #  * last_slot: table slot of the last table entry seen.
+    # A query hits iff its run head is a table entry (table sorts before
+    # queries within a run, and table keys are unique), in which case the last
+    # table entry seen is exactly that head.
+    pos = jnp.arange(n, dtype=jnp.int32)
+    head_any = jax.lax.cummax(jnp.where(first, pos, -1))
+    head_t = jax.lax.cummax(jnp.where(first & is_t, pos, -1))
+    last_slot = jax.lax.cummax(jnp.where(is_t, s_src, -1))
 
     is_q = ~is_t
-    hit = is_q & run_t
+    hit = is_q & (head_any == head_t) & (head_t >= 0)
     out_idx = jnp.where(is_q, s_src, q)  # dump slot q for table entries
     out = jnp.full((q + 1,), -1, jnp.int32).at[out_idx].set(
-        jnp.where(hit, run_slot, -1))[:q]
+        jnp.where(hit, last_slot, -1))[:q]
     return jnp.where(q_valid, out, -1)
 
 
