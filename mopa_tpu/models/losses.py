@@ -171,11 +171,13 @@ def mask_cons_loss(all_probs: jax.Array, sam_masks: jax.Array,
     sid = jnp.where(valid, flat_id, m)  # dump slot m
 
     def per_image(p, sid, valid):
-        npix = jnp.zeros(m + 1, jnp.float32).at[sid].add(valid.astype(jnp.float32))
-        s1 = jnp.zeros((m + 1, c), jnp.float32).at[sid].add(
-            jnp.where(valid[:, None], p, 0.0))
-        s2 = jnp.zeros((m + 1, c), jnp.float32).at[sid].add(
-            jnp.where(valid[:, None], p * p, 0.0))
+        # one-hot GEMM segment sums: scatter-adds of H*W pixels into M ids
+        # serialise on colliding indices on TPU; the (M, HW) x (HW, C) matmul
+        # rides the MXU instead.
+        onehot = jax.nn.one_hot(sid, m + 1, dtype=jnp.float32)  # (HW, M+1)
+        npix = jnp.sum(onehot, axis=0)
+        s1 = jnp.dot(onehot.T, p, preferred_element_type=jnp.float32)
+        s2 = jnp.dot(onehot.T, p * p, preferred_element_type=jnp.float32)
         npix, s1, s2 = npix[:m], s1[:m], s2[:m]
         n = jnp.maximum(npix, 1.0)[:, None]
         mean = s1 / n

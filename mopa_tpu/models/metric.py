@@ -13,14 +13,20 @@ import numpy as np
 
 def confusion_matrix(logits: jax.Array, labels: jax.Array, valid: jax.Array,
                      num_classes: int) -> jax.Array:
-    """Device-side confusion update: (C, C) counts with rows = gt, cols = pred."""
+    """Device-side confusion update: (C, C) counts with rows = gt, cols = pred.
+
+    Computed as a one-hot GEMM: a scatter-add of N points into C*C buckets
+    serialises on colliding indices on TPU (hundreds of ms per step), while
+    the (C, N) x (N, C) matmul rides the MXU.
+    """
     pred = jnp.argmax(logits, axis=-1)
     ok = valid & (labels >= 0) & (labels < num_classes)
     lab = jnp.clip(labels, 0, num_classes - 1)
-    inds = num_classes * lab + pred
-    flat = jnp.zeros(num_classes * num_classes, jnp.int32).at[inds].add(
-        ok.astype(jnp.int32))
-    return flat.reshape(num_classes, num_classes)
+    onehot_gt = jax.nn.one_hot(lab, num_classes, dtype=jnp.float32) \
+        * ok[:, None].astype(jnp.float32)
+    onehot_pred = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
+    cm = jnp.dot(onehot_gt.T, onehot_pred, preferred_element_type=jnp.float32)
+    return cm.astype(jnp.int32)
 
 
 class SegIoU:
