@@ -128,7 +128,7 @@ class A2D2SCN(A2D2Base):
             assert np.all(img_indices[:, 0] < image.size[1])
             assert np.all(img_indices[:, 1] < image.size[0])
 
-            image = np.array(image, dtype=np.float32, copy=False) / 255.0
+            image = np.asarray(image, dtype=np.float32) / 255.0
             if self.color_jitter is not None:
                 image = apply_color_jitter(image, self.color_jitter, rng)
             if rng.random() < self.fliplr:

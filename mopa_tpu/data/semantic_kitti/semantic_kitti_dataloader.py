@@ -118,6 +118,8 @@ class SemanticKITTIBase:
             glob_path = osp.join(self.root_dir, "dataset", "sequences", scene,
                                  "image_2", "*.png")
             cam_paths = sorted(glob.glob(glob_path))
+            if not cam_paths:
+                continue
             calib = self.read_calib(
                 osp.join(self.root_dir, "dataset", "sequences", scene, "calib.txt"))
             proj_matrix = (calib["P2"] @ calib["Tr"]).astype(np.float32)
@@ -352,7 +354,7 @@ class SemanticKITTISCN(SemanticKITTIBase):
                 data_dict["sam_mask"] = data_dict["sam_mask"][top:bottom, left:right]
 
         img_indices = points_img.astype(np.int64)
-        image = np.array(image, dtype=np.float32, copy=False) / 255.0
+        image = np.asarray(image, dtype=np.float32) / 255.0
         if self.color_jitter is not None:
             image = apply_color_jitter(image, self.color_jitter, rng)
         if rng.random() < self.fliplr:
