@@ -60,14 +60,17 @@ def main():
     state = trainer_mod.create_train_state(c, models, src)
     step = trainer_mod.make_train_step(c, models, with_pl=True, with_ema=False)
 
-    # compile + warmup
+    # compile + warmup. NOTE: on the axon backend block_until_ready resolves
+    # at schedule time, not completion — a tiny scalar fetch is the only
+    # reliable execution barrier, and the chained donated state serialises
+    # the steps on real device time.
     state, metrics = step(state, src, trg)
-    jax.block_until_ready(metrics)
+    _ = float(np.asarray(metrics["total_loss"]))
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
     t0 = time.time()
     for _ in range(n_iters):
         state, metrics = step(state, src, trg)
-    jax.block_until_ready(metrics)
+    _ = float(np.asarray(metrics["total_loss"]))
     dt = time.time() - t0
 
     scans_per_sec = n_iters * c.TRAIN.BATCH_SIZE / dt

@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""Break down the MoPA train-step cost on the TPU."""
+"""Break down the MoPA train-step cost on the TPU.
+
+Methodology note: on the axon backend ``block_until_ready`` resolves at
+schedule time, so every measurement chains each iteration's input on the
+previous iteration's output and ends with a tiny scalar fetch — the only
+reliable execution barrier.
+"""
 
 import os
 import sys
@@ -16,26 +22,17 @@ from mopa_tpu.common.cache import enable_compile_cache
 enable_compile_cache()
 
 
-def timed(fn, *args, n=5, name=""):
+def chained(fn, feedback, seed_args, n=10, name=""):
+    """fn(*args) -> out; feedback(out, args) -> new args (data dependency)."""
+    args = seed_args
     out = fn(*args)
-    jax.block_until_ready(out)
+    args = feedback(out, args)
+    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / n
-    print("{:35s} {:8.1f} ms".format(name, dt * 1000), flush=True)
-    return dt
-
-
-def timed_state(step, state, *args, n=3, name=""):
-    """Time a donated-state step by threading the new state through."""
-    state, out = step(state, *args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(n):
-        state, out = step(state, *args)
-    jax.block_until_ready(out)
+        args = feedback(out, args)
+    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
     dt = (time.time() - t0) / n
     print("{:35s} {:8.1f} ms".format(name, dt * 1000), flush=True)
     return dt
@@ -65,46 +62,81 @@ def main():
     trg = device_batch(next(iter(build_dataloader(c, "train", "target"))))
     state = trainer_mod.create_train_state(c, models, src)
 
-    # 1. plan build
+    # 1. plan build, chained through coords
     plan_fn = jax.jit(lambda coords, bidx, v: trainer_mod.build_plan_from_batch(
         c, coords, bidx, v))
-    timed(plan_fn, src["coords"], src["batch_idx"],
-          src["point_valid"].reshape(-1), name="plan build (7 levels)")
 
-    plan = plan_fn(src["coords"], src["batch_idx"], src["point_valid"].reshape(-1))
+    def plan_feedback(plan, args):
+        coords, bidx, v = args
+        bump = (plan.num_voxels[0] * 0).astype(jnp.int32)
+        return (coords + bump, bidx, v)
 
-    # 2. 3D forward only
-    fwd3d = jax.jit(lambda p, feats: models.model_3d.apply(
-        {"params": p, "batch_stats": state.batch_stats_3d}, feats, plan,
-        train=False))
-    timed(fwd3d, state.params_3d, src["feats"], name="3D forward (prebuilt plan)")
+    chained(plan_fn, plan_feedback,
+            (src["coords"], src["batch_idx"], src["point_valid"].reshape(-1)),
+            name="plan build (7 levels)")
 
-    # 3. 2D forward only
-    fwd2d = jax.jit(lambda p: models.model_2d.apply(
-        {"params": p, "batch_stats": state.batch_stats_2d}, src["img"],
-        src["img_indices"], src["point_valid"], train=False))
-    timed(fwd2d, state.params_2d, name="2D forward")
+    plan = plan_fn(src["coords"], src["batch_idx"],
+                   src["point_valid"].reshape(-1))
 
-    # 4. VGI transform alone
+    # 2. 3D forward, chained through feats
+    fwd3d = jax.jit(lambda feats: models.model_3d.apply(
+        {"params": state.params_3d, "batch_stats": state.batch_stats_3d},
+        feats, plan, train=False)["seg_logit"])
+    chained(fwd3d, lambda out, args: (args[0] + 0 * out[:1, :1].sum(),),
+            (src["feats"],), name="3D forward")
+
+    # 3. 2D forward, chained through img
+    fwd2d = jax.jit(lambda img: models.model_2d.apply(
+        {"params": state.params_2d, "batch_stats": state.batch_stats_2d},
+        img, src["img_indices"], src["point_valid"], train=False)["seg_logit"])
+    chained(fwd2d, lambda out, args: (args[0] + 0 * out[0, 0],),
+            (src["img"],), name="2D forward")
+
+    # 4. 2D fwd+bwd
+    def loss2d(img):
+        out = models.model_2d.apply(
+            {"params": state.params_2d, "batch_stats": state.batch_stats_2d},
+            img, src["img_indices"], src["point_valid"], train=False)
+        return jnp.sum(out["seg_logit"].astype(jnp.float32) ** 2)
+
+    g2d = jax.jit(jax.grad(loss2d))
+    chained(g2d, lambda out, args: (args[0] + 0 * out[0, 0, 0],),
+            (src["img"],), name="2D fwd+bwd (wrt img)")
+
+    # 5. VGI transform, chained through points
     from mopa_tpu.ops import mixmatch
 
-    vgi_fn = jax.jit(lambda b, k: mixmatch.vgi_insert_batch(c, b, None, k))
-    key = jax.random.PRNGKey(0)
-    timed(vgi_fn, trg, key, name="VGI transform")
+    vgi_fn = jax.jit(lambda pts, key: mixmatch.vgi_insert_batch(
+        c, dict(trg, ori_points=pts), None, key))
 
-    # 5. full step without VGI/SAM
+    def vgi_feedback(out, args):
+        pts, key = args
+        return (pts + 0 * out["inserted"][0].astype(jnp.float32), key)
+
+    chained(vgi_fn, vgi_feedback, (trg["ori_points"], jax.random.PRNGKey(0)),
+            name="VGI transform")
+
+    # 6. full steps (state chaining is inherent)
+    def run_step(step_fn, st, n=10, name=""):
+        st, m = step_fn(st, src, trg)
+        _ = float(np.asarray(m["total_loss"]))
+        t0 = time.time()
+        for _ in range(n):
+            st, m = step_fn(st, src, trg)
+        _ = float(np.asarray(m["total_loss"]))
+        print("{:35s} {:8.1f} ms".format(name, (time.time() - t0) / n * 1000),
+              flush=True)
+
     c2 = c.clone()
-    c2.defrost() if c2.is_frozen() else None
     c2.TRAIN.PC_MM.lambda_pc_mm = 0.0
     c2.TRAIN.PC_MM.lambda_sam_cons = 0.0
     models2, _ = trainer_mod.build_models(c2, output_all=False)
     state2 = trainer_mod.create_train_state(c2, models2, src)
     step2 = trainer_mod.make_train_step(c2, models2, with_pl=True, with_ema=False)
-    timed_state(step2, state2, src, trg, name="step: xm+pl (no vgi/sam)")
+    run_step(step2, state2, name="step: xm+pl (no vgi/sam)")
 
-    # 6. full step
     step = trainer_mod.make_train_step(c, models, with_pl=True, with_ema=False)
-    timed_state(step, state, src, trg, name="step: full MoPA")
+    run_step(step, state, name="step: full MoPA")
 
 
 if __name__ == "__main__":
