@@ -221,8 +221,29 @@ def merge_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
     return jnp.where(q_valid, out, -1)
 
 
-def lex_searchsorted(s_hi: jax.Array, s_lo: jax.Array, q_hi: jax.Array,
-                     q_lo: jax.Array) -> jax.Array:
+def merge_rank(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array):
+    """Sort-merge rank query via one sort + one cumsum.
+
+    Returns, per query, the number of table entries with key <= the query key
+    (queries sort AFTER equal-key table entries). So ``rank - 1`` is the
+    matching slot iff the key exists, and ``rank`` is the slot of the first
+    strictly-greater entry.
+    """
+    v = table.capacity
+    q = q_hi.shape[0]
+    hi = jnp.concatenate([table.key_hi, q_hi])
+    lo = jnp.concatenate([table.key_lo, q_lo])
+    tag = jnp.concatenate([jnp.zeros(v, jnp.int32), jnp.ones(q, jnp.int32)])
+    src = jnp.concatenate([jnp.arange(v, dtype=jnp.int32),
+                           jnp.arange(q, dtype=jnp.int32)])
+    s_hi, s_lo, s_tag, s_src = jax.lax.sort((hi, lo, tag, src), num_keys=3)
+    is_t = s_tag == 0
+    # rank[i] = number of table entries at positions <= i
+    rank = jnp.cumsum(is_t.astype(jnp.int32))
+    is_q = ~is_t
+    out_idx = jnp.where(is_q, s_src, q)
+    ranks = jnp.zeros((q + 1,), jnp.int32).at[out_idx].set(rank)[:q]
+    return ranks  # per query: slot index of first table entry with key >= query
     """Vectorised lexicographic binary search.
 
     Returns, per query, the index of the first sorted key >= query
