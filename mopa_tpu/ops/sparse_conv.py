@@ -50,46 +50,21 @@ def build_submanifold_plan(table: voxel_ops.VoxelTable, kernel_size: int = 3) ->
     (dx, dy) for the smallest z offset, then the remaining z offsets resolve
     with local key compares at the following slots — 9 searches instead of 27.
     """
-    kz = kernel_size
-    half = kernel_size // 2
-    r = range(-half, half + 1)
-    offs_xy = np.asarray([(dx, dy) for dx in r for dy in r], np.int32)  # (KXY,2)
-    kxy = offs_xy.shape[0]
+    # NOTE: a z-adjacency variant (one rank query per (dx, dy) column, 3x
+    # smaller merge sort, candidate-window key compares) measured SLOWER on
+    # v5e than this direct form — the per-query candidate gathers cost more
+    # than the larger sort saves. Keeping the simple all-offsets merge.
+    offs = jnp.asarray(kernel_offsets(kernel_size))  # (K, 3), dz fastest
+    k = offs.shape[0]
     v = table.capacity
     valid = table.valid_mask()
-
-    # The table sorts with z fastest, so the kz z-offsets of one (dx, dy)
-    # column are CONSECUTIVE table keys: one rank query per column at the
-    # smallest z-offset, then the other z matches resolve from table keys at
-    # slots rank-1, rank, rank+1, ... — a 3x smaller merge sort than querying
-    # all 27 offsets.
-    q_coords = (table.coords[:, None, :]
-                + jnp.asarray(np.concatenate(
-                    [offs_xy, np.full((kxy, 1), -half, np.int32)], 1))[None]
-                ).reshape(v * kxy, 3)
-    q_batch = jnp.repeat(table.batch, kxy)
-    xy_ok = ((q_coords[:, 0] >= 0) & (q_coords[:, 0] < voxel_ops.SHIFT)
-             & (q_coords[:, 1] >= 0) & (q_coords[:, 1] < voxel_ops.SHIFT))
-    q_valid = jnp.repeat(valid, kxy) & xy_ok
+    q_coords = (table.coords[:, None, :] + offs[None, :, :]).reshape(v * k, 3)
+    in_range = jnp.all((q_coords >= 0) & (q_coords < voxel_ops.SHIFT), axis=-1)
+    q_valid = jnp.repeat(valid, k) & in_range
+    q_batch = jnp.repeat(table.batch, k)
     q_hi, q_lo = voxel_ops.pack_keys(q_coords, q_batch, q_valid)
-    ranks = voxel_ops.merge_rank(table, q_hi, q_lo)  # (V*KXY,)
-
-    # candidate table slots rank-1 .. rank+kz-1 cover all kz targets
-    n_cand = kz + 1
-    cand = jnp.clip(ranks[:, None] + jnp.arange(-1, kz)[None, :], 0, v - 1)
-    c_hi = table.key_hi[cand]  # (V*KXY, kz+1)
-    c_lo = table.key_lo[cand]
-
-    qz = jnp.repeat(table.coords[:, 2], kxy) - half
-    cols = []
-    for j in range(kz):
-        t_lo = q_lo + j
-        zj_ok = (qz + j >= 0) & (qz + j < voxel_ops.SHIFT) & q_valid
-        hit = (c_hi == q_hi[:, None]) & (c_lo == t_lo[:, None])
-        slot = jnp.max(jnp.where(hit, cand, -1), axis=1)
-        cols.append(jnp.where(zj_ok, slot, -1))
-    nbr = jnp.stack(cols, axis=1)  # (V*KXY, kz) dz fastest
-    return nbr.reshape(v, kxy * kz)
+    nbr = voxel_ops.merge_lookup(table, q_hi, q_lo, q_valid)
+    return nbr.reshape(v, k)
 
 
 def build_down_plan(fine: voxel_ops.VoxelTable, coarse: voxel_ops.VoxelTable) -> jax.Array:
