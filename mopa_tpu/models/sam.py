@@ -284,6 +284,67 @@ class SAM(nn.Module):
         return self.decode(emb, points, labels)
 
 
+def import_sam_checkpoint(state_dict, variant="vit_h"):
+    """Map a segment-anything ``.pth`` state_dict onto this flax SAM's names.
+
+    Returns a flat ``name -> numpy array`` dict for
+    ``mopa_tpu.models.torch_compat.unflatten_into`` against ``SAM.init``
+    variables["params"]. Best-effort: covers the image encoder, prompt
+    encoder point embeddings and the mask decoder heads; validated only
+    structurally in this environment (no SAM weights on disk, no egress).
+    """
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out = {}
+
+    def conv(src, dst, bias=True):
+        out[dst + ".kernel"] = np.transpose(sd[src + ".weight"], (2, 3, 1, 0))
+        if bias and src + ".bias" in sd:
+            out[dst + ".bias"] = sd[src + ".bias"]
+
+    def dense(src, dst):
+        out[dst + ".kernel"] = np.transpose(sd[src + ".weight"], (1, 0))
+        if src + ".bias" in sd:
+            out[dst + ".bias"] = sd[src + ".bias"]
+
+    def ln(src, dst):
+        out[dst + ".scale"] = sd[src + ".weight"]
+        out[dst + ".bias"] = sd[src + ".bias"]
+
+    enc = "image_encoder"
+    conv(enc + ".patch_embed.proj", "image_encoder.patch_embed")
+    out["image_encoder.pos_embed"] = sd[enc + ".pos_embed"]
+    depth = VARIANTS[variant]["depth"]
+    for i in range(depth):
+        s = "{}.blocks.{}".format(enc, i)
+        d = "image_encoder.block{}".format(i)
+        ln(s + ".norm1", d + ".norm1")
+        ln(s + ".norm2", d + ".norm2")
+        dense(s + ".attn.qkv", d + ".attn.qkv")
+        dense(s + ".attn.proj", d + ".attn.proj")
+        out[d + ".attn.rel_pos_h"] = sd[s + ".attn.rel_pos_h"]
+        out[d + ".attn.rel_pos_w"] = sd[s + ".attn.rel_pos_w"]
+        dense(s + ".mlp.lin1", d + ".mlp.lin1")
+        dense(s + ".mlp.lin2", d + ".mlp.lin2")
+    conv(enc + ".neck.0", "image_encoder.neck0", bias=False)
+    ln(enc + ".neck.1", "image_encoder.neck_ln0")
+    conv(enc + ".neck.2", "image_encoder.neck1", bias=False)
+    ln(enc + ".neck.3", "image_encoder.neck_ln1")
+
+    pe = "prompt_encoder"
+    out["prompt_encoder.pe_gaussian"] = \
+        sd[pe + ".pe_layer.positional_encoding_gaussian_matrix"]
+    # point_embeddings: 0 = negative, 1 = positive (segment-anything order)
+    out["prompt_encoder.bg_embed"] = sd[pe + ".point_embeddings.0.weight"][0]
+    out["prompt_encoder.fg_embed"] = sd[pe + ".point_embeddings.1.weight"][0]
+
+    md = "mask_decoder"
+    out["mask_decoder.iou_token"] = sd[md + ".iou_token.weight"]
+    out["mask_decoder.mask_tokens"] = sd[md + ".mask_tokens.weight"]
+    return out
+
+
 def generate_mask_id_map(apply_fn, variables, image, *, points_per_side=8,
                          mask_budget=64, iou_thresh=0.7, img_size=256):
     """Automatic mask generation -> fixed-budget id map (jit-compatible).
