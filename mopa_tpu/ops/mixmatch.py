@@ -227,7 +227,16 @@ def vgi_insert_batch(cfg, batch_trg: Dict, pl_3d, rng) -> Dict:
 
     points = batch_trg["ori_points"]          # (B, P, 4)
     pvalid = batch_trg["ori_points_valid"]    # (B, P)
-    g_mask = batch_trg.get("g_mask", jnp.zeros(pvalid.shape, bool))
+    if "g_mask" in batch_trg:
+        g_mask = batch_trg["g_mask"]
+    else:
+        # online ground segmentation fallback (reference obj_on_road runs
+        # Patchwork++ on the host when no offline g_indices exist,
+        # mixmatch_ss.py:381-388) — here the batched JAX ground op
+        from mopa_tpu.ops.ground import estimate_ground
+
+        g_mask = jax.vmap(lambda p, v: estimate_ground(p[:, :3], v))(
+            points, pvalid)
     obj = batch_trg["obj_pc"]                 # (B, O, 4)
     ovalid = batch_trg["obj_valid"]           # (B, O)
     obj_label = batch_trg["obj_label"]        # (B,)

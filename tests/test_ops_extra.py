@@ -145,3 +145,38 @@ def test_vgi_insert_respects_collisions():
         k, voxel_size=0.5, search_range=(25.0, 25.0), z_min=-2.0,
         front_axis_x=True))(jax.random.PRNGKey(1))
     assert not bool(out["inserted"])
+
+
+def test_vgi_online_ground_fallback():
+    """Without offline g_mask, VGI segments ground on device and can insert."""
+    from mopa_tpu.config.xmuda import cfg
+
+    c = cfg.clone()
+    c.DATASET_TARGET.TYPE = "SyntheticSCN"
+    rng = np.random.default_rng(4)
+    b, p, o = 2, 1500, 64
+    gx = rng.uniform(2, 40, (b, p))
+    gy = gx * rng.uniform(-0.45, 0.45, (b, p))
+    pts = np.stack([gx, gy, np.full((b, p), -1.7),
+                    np.ones((b, p))], -1).astype(np.float32)
+    obj = np.concatenate([
+        np.stack([rng.uniform(4, 5, (b, o)), rng.uniform(-0.5, 0.5, (b, o)),
+                  rng.uniform(-1.7, -0.8, (b, o))], -1),
+        np.ones((b, o, 1))], -1).astype(np.float32)
+    proj = np.array([[300, 0, 240, 0], [0, 300, 150, 0], [0, 0, 1, 0]],
+                    np.float32) @ np.array(
+        [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]], np.float32)
+    batch = {
+        "ori_points": jnp.asarray(pts),
+        "ori_points_valid": jnp.ones((b, p), bool),
+        "obj_pc": jnp.asarray(obj),
+        "obj_valid": jnp.ones((b, o), bool),
+        "obj_label": jnp.full((b,), 3, jnp.int32),
+        "proj_matrix": jnp.asarray(np.tile(proj[:3, :4], (b, 1, 1))),
+        "img_size": jnp.asarray(np.tile([480, 302], (b, 1)).astype(np.int32)),
+        # note: NO g_mask key -> online ground fallback
+    }
+    out = jax.jit(lambda bt, k: mixmatch.vgi_insert_batch(c, bt, None, k))(
+        batch, jax.random.PRNGKey(0))
+    inserted = np.asarray(out["inserted"])
+    assert inserted.any(), "online ground fallback produced no insertions"
