@@ -21,8 +21,74 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+class DomainBatchNorm(nn.Module):
+    """BatchNorm whose batch decomposes into ``n_domains`` equal leading
+    groups with INDEPENDENT statistics per group.
+
+    With ``n_domains == 1`` this is numerically identical to
+    ``nn.BatchNorm(momentum, epsilon, dtype=float32)`` (same variable names /
+    shapes, so checkpoints and the torch import are unaffected). With D > 1,
+    an input of shape (D*B, H, W, C) is normalised per domain — exactly what
+    D back-to-back forwards of batch B produce (the reference runs separate
+    source / target forwards; fusing them into one big conv pass is the TPU
+    win, per-domain stats keep the math identical). Running stats apply the
+    per-domain updates sequentially in domain order.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    n_domains: int = 1
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+        f32 = x.astype(jnp.float32)
+        d = int(self.n_domains)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            out = (f32 - mean) * (jax.lax.rsqrt(var + self.epsilon) * scale) \
+                + bias
+            return out
+        if d == 1:
+            mean = jnp.mean(f32, axis=tuple(range(f32.ndim - 1)))
+            var = jnp.mean(jnp.square(f32 - mean),
+                           axis=tuple(range(f32.ndim - 1)))
+            new_mean = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            new_var = self.momentum * ra_var.value + (1 - self.momentum) * var
+            out = (f32 - mean) * (jax.lax.rsqrt(var + self.epsilon) * scale) \
+                + bias
+        else:
+            n = f32.shape[0]
+            assert n % d == 0, (n, d)
+            g = f32.reshape((d, n // d) + f32.shape[1:])
+            axes = tuple(range(1, g.ndim - 1))
+            mean = jnp.mean(g, axis=axes)                      # (D, C)
+            var = jnp.mean(jnp.square(g - mean.reshape(
+                (d,) + (1,) * (g.ndim - 2) + (c,))), axis=axes)
+            rm, rv = ra_mean.value, ra_var.value
+            for i in range(d):  # sequential per-domain running update
+                rm = self.momentum * rm + (1 - self.momentum) * mean[i]
+                rv = self.momentum * rv + (1 - self.momentum) * var[i]
+            new_mean, new_var = rm, rv
+            bshape = (d,) + (1,) * (g.ndim - 2) + (c,)
+            out = (g - mean.reshape(bshape)) * (
+                jax.lax.rsqrt(var.reshape(bshape) + self.epsilon) * scale) + bias
+            out = out.reshape(f32.shape)
+        if not self.is_initializing():
+            ra_mean.value = new_mean
+            ra_var.value = new_var
+        return out
 
 
 class BasicBlock(nn.Module):
@@ -32,25 +98,23 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    n_domains: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn1")(y)
+        y = DomainBatchNorm(n_domains=self.n_domains, name="bn1")(y, not train)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn2")(y)
+        y = DomainBatchNorm(n_domains=self.n_domains, name="bn2")(y, not train)
         if self.downsample:
             residual = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, dtype=jnp.float32,
-                                    name="downsample_bn")(residual)
+            residual = DomainBatchNorm(n_domains=self.n_domains,
+                                       name="downsample_bn")(residual, not train)
         return nn.relu(y + residual)
 
 
@@ -59,6 +123,7 @@ class ResLayer(nn.Module):
     blocks: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    n_domains: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -66,7 +131,7 @@ class ResLayer(nn.Module):
             stride = self.stride if i == 0 else 1
             downsample = i == 0 and (stride != 1 or x.shape[-1] != self.planes)
             x = BasicBlock(self.planes, stride, downsample, dtype=self.dtype,
-                           name=f"block{i}")(x, train)
+                           n_domains=self.n_domains, name=f"block{i}")(x, train)
         return x
 
 
@@ -75,13 +140,13 @@ class DecStage(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    n_domains: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn")(x)
+        x = DomainBatchNorm(n_domains=self.n_domains, name="bn")(x, not train)
         return nn.relu(x)
 
 
@@ -90,13 +155,13 @@ class TConvStage(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    n_domains: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.ConvTranspose(self.out_channels, (2, 2), strides=(2, 2),
                              dtype=self.dtype, name="tconv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn")(x)
+        x = DomainBatchNorm(n_domains=self.n_domains, name="bn")(x, not train)
         return nn.relu(x)
 
 
@@ -106,6 +171,7 @@ class UNetResNet34(nn.Module):
     pretrained: bool = True  # weight import handled externally (torch_compat)
     dropout_rate: float = 0.4
     dtype: jnp.dtype = jnp.float32
+    n_domains: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -117,39 +183,50 @@ class UNetResNet34(nn.Module):
             x = jnp.pad(x, [(0, 0), (0, pad_h), (0, pad_w), (0, 0)])
 
         x = x.astype(self.dtype)
+        nd = self.n_domains
         # ----- encoder -----
         inter = []
         x = nn.Conv(64, (7, 7), strides=(1, 1), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)  # stride 1, not 2 (ref :93)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn1")(x)
+        x = DomainBatchNorm(n_domains=nd, name="bn1")(x, not train)
         x = nn.relu(x)
         inter.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        x = ResLayer(64, 3, 1, dtype=self.dtype, name="layer1")(x, train)
+        x = ResLayer(64, 3, 1, dtype=self.dtype, n_domains=nd,
+                     name="layer1")(x, train)
         inter.append(x)
-        x = ResLayer(128, 4, 2, dtype=self.dtype, name="layer2")(x, train)
+        x = ResLayer(128, 4, 2, dtype=self.dtype, n_domains=nd,
+                     name="layer2")(x, train)
         inter.append(x)
-        x = ResLayer(256, 6, 2, dtype=self.dtype, name="layer3")(x, train)
+        x = ResLayer(256, 6, 2, dtype=self.dtype, n_domains=nd,
+                     name="layer3")(x, train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         inter.append(x)
-        x = ResLayer(512, 3, 2, dtype=self.dtype, name="layer4")(x, train)
+        x = ResLayer(512, 3, 2, dtype=self.dtype, n_domains=nd,
+                     name="layer4")(x, train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
 
         # ----- decoder -----
-        x = TConvStage(256, dtype=self.dtype, name="dec_t_conv_stage5")(x, train)
+        x = TConvStage(256, dtype=self.dtype, n_domains=nd,
+                       name="dec_t_conv_stage5")(x, train)
         x = jnp.concatenate([inter[3], x], axis=-1)
-        x = DecStage(256, dtype=self.dtype, name="dec_conv_stage4")(x, train)
+        x = DecStage(256, dtype=self.dtype, n_domains=nd,
+                     name="dec_conv_stage4")(x, train)
 
-        x = TConvStage(128, dtype=self.dtype, name="dec_t_conv_stage4")(x, train)
+        x = TConvStage(128, dtype=self.dtype, n_domains=nd,
+                       name="dec_t_conv_stage4")(x, train)
         x = jnp.concatenate([inter[2], x], axis=-1)
-        x = DecStage(128, dtype=self.dtype, name="dec_conv_stage3")(x, train)
+        x = DecStage(128, dtype=self.dtype, n_domains=nd,
+                     name="dec_conv_stage3")(x, train)
 
-        x = TConvStage(64, dtype=self.dtype, name="dec_t_conv_stage3")(x, train)
+        x = TConvStage(64, dtype=self.dtype, n_domains=nd,
+                       name="dec_t_conv_stage3")(x, train)
         x = jnp.concatenate([inter[1], x], axis=-1)
-        x = DecStage(64, dtype=self.dtype, name="dec_conv_stage2")(x, train)
+        x = DecStage(64, dtype=self.dtype, n_domains=nd,
+                     name="dec_conv_stage2")(x, train)
 
-        x = TConvStage(64, dtype=self.dtype, name="dec_t_conv_stage2")(x, train)
+        x = TConvStage(64, dtype=self.dtype, n_domains=nd,
+                       name="dec_t_conv_stage2")(x, train)
         x = jnp.concatenate([inter[0], x], axis=-1)
         x = nn.Conv(64, (3, 3), padding=1, dtype=self.dtype, name="dec_conv_stage1")(x)
 

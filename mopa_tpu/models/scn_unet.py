@@ -41,6 +41,7 @@ class LevelPlan(NamedTuple):
     down_nbr: jax.Array | None   # (V_l, 8) coarse->fine gather map (None at l=0)
     f2c: jax.Array | None        # (V_{l-1},) fine->coarse map (None at l=0)
     up_off: jax.Array | None     # (V_{l-1},) kernel-offset idx for deconv
+    dom: jax.Array | None = None  # (V_l,) BN-domain id (fused multi-forward)
 
 
 class UNetPlan(NamedTuple):
@@ -64,11 +65,19 @@ def capacity_schedule(n_points: int, num_levels: int,
 
 
 def build_unet_plan(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
-                    num_levels: int, capacities: Sequence[int] | None = None) -> UNetPlan:
-    """Build all tables and maps for one batch. jit-compatible, int32 only."""
+                    num_levels: int, capacities: Sequence[int] | None = None,
+                    batch_domains=None) -> UNetPlan:
+    """Build all tables and maps for one batch. jit-compatible, int32 only.
+
+    ``batch_domains``: optional host int32 array mapping batch index -> BN
+    domain id, for fusing several independent forwards (src/trg/VGI) into one
+    (see ``sparse_conv.batch_norm_act`` domain mode). None = single domain.
+    """
     n = coords.shape[0]
     if capacities is None:
         capacities = capacity_schedule(n, num_levels)
+    if batch_domains is not None:
+        batch_domains = jnp.asarray(batch_domains, jnp.int32)
     table, inverse, counts = voxel_ops.voxelize(coords, batch_idx, valid,
                                                 capacities[0])
     levels = []
@@ -77,14 +86,20 @@ def build_unet_plan(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
     pending = (None, None, None)  # (down_nbr, f2c, up_off) feeding this level
     for l in range(num_levels):
         nums.append(prev.num)
+        dom = None
+        if batch_domains is not None:
+            dom = batch_domains[jnp.clip(prev.batch, 0,
+                                         batch_domains.shape[0] - 1)]
         levels.append(
             LevelPlan(nbr=sc.build_submanifold_plan(prev), valid=prev.valid_mask(),
-                      down_nbr=pending[0], f2c=pending[1], up_off=pending[2])
+                      down_nbr=pending[0], f2c=pending[1], up_off=pending[2],
+                      dom=dom)
         )
         if l + 1 < num_levels:
             coarse, f2c = voxel_ops.downsample_coords(prev, capacities[l + 1])
-            down_nbr = sc.build_down_plan(prev, coarse)
             up_off = sc.up_offset_index(prev)
+            down_nbr = sc.down_plan_from_f2c(f2c, up_off, prev.valid_mask(),
+                                             capacities[l + 1])
             pending = (down_nbr, f2c, up_off)
             prev = coarse
     return UNetPlan(levels=tuple(levels), point_inverse=inverse,
@@ -101,7 +116,7 @@ class _BN(nn.Module):
     eps: float = 1e-4
 
     @nn.compact
-    def __call__(self, x, valid, train: bool):
+    def __call__(self, x, valid, train: bool, dom=None, n_domains: int = 1):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable("batch_stats", "mean",
@@ -111,7 +126,8 @@ class _BN(nn.Module):
         st = sc.BNState(ra_mean.value, ra_var.value)
         out, new_st = sc.batch_norm_act(
             x, valid, scale, bias, st, training=train, momentum=self.momentum,
-            eps=self.eps, leakiness=self.leakiness, act=self.act)
+            eps=self.eps, leakiness=self.leakiness, act=self.act,
+            dom=dom, n_domains=n_domains)
         if train and not self.is_initializing():
             ra_mean.value = new_st.running_mean
             ra_var.value = new_st.running_var
@@ -141,7 +157,8 @@ class SparseUNet(nn.Module):
         return self.m
 
     @nn.compact
-    def __call__(self, point_feats: jax.Array, plan: UNetPlan, train: bool = False):
+    def __call__(self, point_feats: jax.Array, plan: UNetPlan,
+                 train: bool = False, n_domains: int = 1):
         assert not self.residual_blocks, "shipped configs use VGG-style blocks"
         assert self.block_reps == 1, "shipped configs use block_reps=1"
         planes = [(i + 1) * self.m for i in range(self.num_planes)]
@@ -156,19 +173,20 @@ class SparseUNet(nn.Module):
         w_stem = self.param("stem", _conv_init, (27, self.in_channels, self.m))
         x = sc.submanifold_conv(x, plan.levels[0].nbr, w_stem)
 
-        x = self._level(0, x, plan, planes, train)
+        x = self._level(0, x, plan, planes, train, n_domains)
 
         x = _BN(self.m, leakiness=0.0, act=True, name="final_bn")(
-            x, plan.levels[0].valid, train)
+            x, plan.levels[0].valid, train, plan.levels[0].dom, n_domains)
 
         # OutputLayer: voxel -> point unmapping
         return voxel_ops.unpool_features(x, plan.point_inverse)
 
-    def _level(self, l: int, x, plan: UNetPlan, planes, train: bool):
+    def _level(self, l: int, x, plan: UNetPlan, planes, train: bool,
+               n_domains: int):
         p = planes[l]
         lv = plan.levels[l]
         # block: BNLeakyReLU -> SubConv(p -> p)
-        x = _BN(p, name=f"l{l}_bn1")(x, lv.valid, train)
+        x = _BN(p, name=f"l{l}_bn1")(x, lv.valid, train, lv.dom, n_domains)
         w1 = self.param(f"l{l}_conv1", _conv_init, (27, p, p))
         x = sc.submanifold_conv(x, lv.nbr, w1)
 
@@ -177,22 +195,25 @@ class SparseUNet(nn.Module):
             nxt = plan.levels[l + 1]
             skip = x
             # down: BNLeakyReLU -> Convolution(p -> q, k2 s2)
-            y = _BN(p, name=f"l{l}_bn_down")(x, lv.valid, train)
+            y = _BN(p, name=f"l{l}_bn_down")(x, lv.valid, train, lv.dom,
+                                             n_domains)
             w_down = self.param(f"l{l}_down", _conv_init, (8, p, q))
             y = sc.strided_conv(y, nxt.down_nbr, w_down, f2c=nxt.f2c,
                                 up_off=nxt.up_off, fine_valid=lv.valid)
 
-            y = self._level(l + 1, y, plan, planes, train)
+            y = self._level(l + 1, y, plan, planes, train, n_domains)
 
             # up: BNLeakyReLU -> Deconvolution(q -> p, k2 s2)
-            y = _BN(q, name=f"l{l}_bn_up")(y, nxt.valid, train)
+            y = _BN(q, name=f"l{l}_bn_up")(y, nxt.valid, train, nxt.dom,
+                                           n_domains)
             w_up = self.param(f"l{l}_up", _conv_init, (8, q, p))
             y = sc.deconv(y, nxt.f2c, nxt.up_off, w_up, lv.valid,
                           down_nbr=nxt.down_nbr)
 
             # join + fuse: BNLeakyReLU(2p) -> SubConv(2p -> p)
             x = jnp.concatenate([skip, y], axis=-1)
-            x = _BN(2 * p, name=f"l{l}_bn2")(x, lv.valid, train)
+            x = _BN(2 * p, name=f"l{l}_bn2")(x, lv.valid, train, lv.dom,
+                                             n_domains)
             w2 = self.param(f"l{l}_conv2", _conv_init, (27, 2 * p, p))
             x = sc.submanifold_conv(x, lv.nbr, w2)
         return x

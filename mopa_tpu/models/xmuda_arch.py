@@ -35,12 +35,15 @@ class Net2DSeg(nn.Module):
     pretrained: bool = True
 
     @nn.compact
-    def __call__(self, img, img_indices, point_valid, train: bool = False):
+    def __call__(self, img, img_indices, point_valid, train: bool = False,
+                 n_domains: int = 1):
         """
         Args:
             img: (B, H, W, 3) images (NHWC).
             img_indices: (B, P, 2) int32 per-point (row, col).
             point_valid: (B, P) bool.
+            n_domains: >1 fuses several independent forwards stacked on the
+                batch axis, with per-domain batch-norm statistics.
 
         Returns dict with 'feats' (B*P, 64), 'seg_logit' (B*P, C),
         optionally 'seg_logit2' and dense 'seg_logit_all' (B, H, W, C).
@@ -49,7 +52,7 @@ class Net2DSeg(nn.Module):
             raise NotImplementedError(
                 "2D backbone {} not supported".format(self.backbone_2d))
         x = UNetResNet34(pretrained=self.pretrained, dtype=self.compute_dtype,
-                         name="net_2d")(img, train=train)
+                         n_domains=n_domains, name="net_2d")(img, train=train)
         x = x.astype(jnp.float32)
 
         head = nn.Dense(self.num_classes, name="linear")
@@ -80,11 +83,14 @@ class Net3DSeg(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, point_feats, plan: UNetPlan, train: bool = False):
+    def __call__(self, point_feats, plan: UNetPlan, train: bool = False,
+                 n_domains: int = 1):
         """
         Args:
             point_feats: (B*P, in_channels) per-point features (ones for SCN).
             plan: precomputed UNetPlan for this batch's coordinates.
+            n_domains: >1 fuses several independent forwards into one with
+                per-domain batch norm (plan must carry domain ids).
 
         Returns dict with 'feats' (B*P, m) and 'seg_logit' (B*P, C)
         (+ 'seg_logit2' when dual_head).
@@ -96,7 +102,7 @@ class Net3DSeg(nn.Module):
             in_channels=self.in_channels, m=self.m, num_planes=self.num_planes,
             block_reps=self.block_reps, residual_blocks=self.residual_blocks,
             full_scale=self.full_scale, compute_dtype=self.compute_dtype,
-            name="net_3d")(point_feats, plan, train=train)
+            name="net_3d")(point_feats, plan, train=train, n_domains=n_domains)
         feats = feats.astype(jnp.float32)
         preds = {
             "feats": feats,

@@ -45,26 +45,44 @@ def build_submanifold_plan(table: voxel_ops.VoxelTable, kernel_size: int = 3) ->
 
     Active output sites == active input sites (the submanifold property).
 
-    The voxel table is sorted with z fastest, so the ``kz`` neighbours of one
-    (dx, dy) column are adjacent in sorted order: ONE binary search per
-    (dx, dy) for the smallest z offset, then the remaining z offsets resolve
-    with local key compares at the following slots — 9 searches instead of 27.
+    Only the FIRST half of the kernel offsets is resolved by sort-merge
+    lookup: for a fixed offset o the match u -> v (key(v) == key(u) + o) is
+    injective, so the map for -o is its transpose — one collision-free
+    scatter per half-offset instead of another merge. The centre offset is
+    the identity. This halves the dominant per-level merge sort (14V keys
+    instead of 27V).
     """
     # NOTE: a z-adjacency variant (one rank query per (dx, dy) column, 3x
     # smaller merge sort, candidate-window key compares) measured SLOWER on
-    # v5e than this direct form — the per-query candidate gathers cost more
-    # than the larger sort saves. Keeping the simple all-offsets merge.
-    offs = jnp.asarray(kernel_offsets(kernel_size))  # (K, 3), dz fastest
-    k = offs.shape[0]
+    # v5e than the direct merge — the per-query candidate gathers cost more
+    # than the larger sort saves. The transpose trick below has no per-query
+    # gathers, only one flat scatter.
+    offs_np = kernel_offsets(kernel_size)  # (K, 3), dz fastest; offs[K-1-k] == -offs[k]
+    k = offs_np.shape[0]
+    half = k // 2
+    offs = jnp.asarray(offs_np[:half])
     v = table.capacity
     valid = table.valid_mask()
-    q_coords = (table.coords[:, None, :] + offs[None, :, :]).reshape(v * k, 3)
+    q_coords = (table.coords[:, None, :] + offs[None, :, :]).reshape(v * half, 3)
     in_range = jnp.all((q_coords >= 0) & (q_coords < voxel_ops.SHIFT), axis=-1)
-    q_valid = jnp.repeat(valid, k) & in_range
-    q_batch = jnp.repeat(table.batch, k)
+    q_valid = jnp.repeat(valid, half) & in_range
+    q_batch = jnp.repeat(table.batch, half)
     q_hi, q_lo = voxel_ops.pack_keys(q_coords, q_batch, q_valid)
-    nbr = voxel_ops.merge_lookup(table, q_hi, q_lo, q_valid)
-    return nbr.reshape(v, k)
+    nbr_half = voxel_ops.merge_lookup(table, q_hi, q_lo, q_valid).reshape(v, half)
+
+    slots = jnp.arange(v, dtype=jnp.int32)
+    centre = jnp.where(valid, slots, -1)
+    # second half by transposition: nbr[u, j] = w  =>  nbr[w, k-1-j] = u.
+    # The scatter is collision-free (u -> u+o is injective); misses land in
+    # the trailing dump slot.
+    hit = nbr_half >= 0
+    flat_tgt = jnp.where(
+        hit, nbr_half * half + (half - 1 - jnp.arange(half, dtype=jnp.int32))[None, :],
+        v * half)
+    u_src = jnp.broadcast_to(slots[:, None], (v, half))
+    nbr_mirror = jnp.full((v * half + 1,), -1, jnp.int32).at[
+        flat_tgt.reshape(-1)].set(u_src.reshape(-1))[:-1].reshape(v, half)
+    return jnp.concatenate([nbr_half, centre[:, None], nbr_mirror], axis=1)
 
 
 def build_down_plan(fine: voxel_ops.VoxelTable, coarse: voxel_ops.VoxelTable) -> jax.Array:
@@ -84,6 +102,26 @@ def build_down_plan(fine: voxel_ops.VoxelTable, coarse: voxel_ops.VoxelTable) ->
     q_hi, q_lo = voxel_ops.pack_keys(q_coords, q_batch, q_valid)
     nbr = voxel_ops.merge_lookup(fine, q_hi, q_lo, q_valid)
     return nbr.reshape(vc, 8)
+
+
+def down_plan_from_f2c(f2c: jax.Array, up_off: jax.Array, fine_valid: jax.Array,
+                       coarse_capacity: int) -> jax.Array:
+    """(Vc, 8) down-conv gather map as the inverse of (f2c, up_off) — one
+    collision-free scatter, no sort.
+
+    Each fine site f is the unique input of coarse site f2c[f] at kernel
+    offset up_off[f] (``2*c + o`` decomposition is a bijection), so
+    ``down_nbr[f2c[f], up_off[f]] = f``. Produces exactly
+    :func:`build_down_plan`'s output when f2c came from
+    ``voxel.downsample_coords``.
+    """
+    vc = int(coarse_capacity)
+    vf = f2c.shape[0]
+    ok = fine_valid & (f2c >= 0)
+    flat = jnp.where(ok, f2c * 8 + up_off, vc * 8)
+    src = jnp.arange(vf, dtype=jnp.int32)
+    return jnp.full((vc * 8 + 1,), -1, jnp.int32).at[flat].set(
+        src)[:-1].reshape(vc, 8)
 
 
 def up_offset_index(fine: voxel_ops.VoxelTable) -> jax.Array:
@@ -280,17 +318,33 @@ class BNState(NamedTuple):
 def batch_norm_act(feats: jax.Array, valid: jax.Array, scale: jax.Array,
                    bias: jax.Array, state: BNState, *, training: bool,
                    momentum: float = 0.9, eps: float = 1e-4,
-                   leakiness: float = 0.0, act: bool = True):
+                   leakiness: float = 0.0, act: bool = True,
+                   dom: jax.Array | None = None, n_domains: int = 1):
     """Masked batch norm + (leaky) ReLU over active voxels.
 
     Replicates ``scn.BatchNormLeakyReLU`` semantics (eps=1e-4, momentum=0.9,
     running = momentum*running + (1-momentum)*batch) while excluding padding
     slots from the statistics. Statistics are computed in float32.
 
+    Domain-segmented mode (``dom``/``n_domains``): several independent
+    forward passes (e.g. source / target / VGI-mixed batches) fused into ONE
+    call compute statistics PER DOMAIN and normalise each voxel with its own
+    domain's stats — numerically identical to running the passes separately,
+    which is how the reference trains (train_xmuda_mopa.py runs src, trg and
+    cat forwards back to back). Running stats apply the per-domain updates
+    sequentially in domain order; a domain with zero active voxels leaves the
+    running stats untouched (the reference skips that forward entirely).
+
     Returns (out, new_state).
     """
     f32 = feats.astype(jnp.float32)
-    if training:
+    if not training:
+        mean, var = state.running_mean, state.running_var
+        out = (f32 - mean) * (jax.lax.rsqrt(var + eps)
+                              * scale.astype(jnp.float32)) \
+            + bias.astype(jnp.float32)
+        new_state = state
+    elif dom is None or n_domains == 1:
         m = valid.astype(jnp.float32)[:, None]
         n = jnp.maximum(jnp.sum(m), 1.0)
         mean = jnp.sum(f32 * m, axis=0) / n
@@ -299,11 +353,28 @@ def batch_norm_act(feats: jax.Array, valid: jax.Array, scale: jax.Array,
             running_mean=momentum * state.running_mean + (1.0 - momentum) * mean,
             running_var=momentum * state.running_var + (1.0 - momentum) * var,
         )
+        out = (f32 - mean) * (jax.lax.rsqrt(var + eps)
+                              * scale.astype(jnp.float32)) \
+            + bias.astype(jnp.float32)
     else:
-        mean, var = state.running_mean, state.running_var
-        new_state = state
-    inv = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
-    out = (f32 - mean) * inv + bias.astype(jnp.float32)
+        d = int(n_domains)
+        onehot = ((dom[:, None] == jnp.arange(d, dtype=dom.dtype)[None, :])
+                  & valid[:, None]).astype(jnp.float32)       # (V, D)
+        counts = jnp.sum(onehot, axis=0)                       # (D,)
+        denom = jnp.maximum(counts, 1.0)[:, None]
+        mean = (onehot.T @ f32) / denom                        # (D, C)
+        dom_c = jnp.clip(dom, 0, d - 1)
+        centered = f32 - mean[dom_c]
+        var = (onehot.T @ jnp.square(centered)) / denom        # (D, C)
+        rm, rv = state.running_mean, state.running_var
+        for i in range(d):  # sequential per-domain running update
+            has = counts[i] > 0
+            mom_i = jnp.where(has, momentum, 1.0)
+            rm = mom_i * rm + (1.0 - mom_i) * mean[i]
+            rv = mom_i * rv + (1.0 - mom_i) * var[i]
+        new_state = BNState(running_mean=rm, running_var=rv)
+        inv = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)[None, :]
+        out = centered * inv[dom_c] + bias.astype(jnp.float32)
     if act:
         if leakiness > 0.0:
             out = jnp.where(out >= 0, out, leakiness * out)

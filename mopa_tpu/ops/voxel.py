@@ -188,17 +188,21 @@ def merge_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
     # so mask them out of the scatter below.
     hi = jnp.concatenate([table.key_hi, q_hi])
     lo = jnp.concatenate([table.key_lo, q_lo])
-    tag = jnp.concatenate([jnp.zeros(v, jnp.int32), jnp.ones(q, jnp.int32)])
+    # One combined source index doubles as the table/query tag: table rows get
+    # [0, v), queries [v, v + q). Sorting it as the third KEY orders equal-key
+    # runs table-first (table indices < v <= any query index) — one operand
+    # less through the sort than a separate tag array.
     src = jnp.concatenate([jnp.arange(v, dtype=jnp.int32),
-                           jnp.arange(q, dtype=jnp.int32)])
-    s_hi, s_lo, s_tag, s_src = jax.lax.sort((hi, lo, tag, src), num_keys=3)
+                           jnp.arange(v, v + q, dtype=jnp.int32)])
+    s_hi, s_lo, s_srcc = jax.lax.sort((hi, lo, src), num_keys=3)
+    is_t = s_srcc < v
+    s_src = jnp.where(is_t, s_srcc, s_srcc - v)
 
     n = v + q
     first = jnp.concatenate([
         jnp.ones((1,), bool),
         (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
     ])
-    is_t = s_tag == 0
     # Run-head propagation via three cummaxes (each a single compact HLO op —
     # an associative_scan here produced an HLO large enough to kill the
     # compile service):
@@ -219,54 +223,6 @@ def merge_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
     out = jnp.full((q + 1,), -1, jnp.int32).at[out_idx].set(
         jnp.where(hit, last_slot, -1))[:q]
     return jnp.where(q_valid, out, -1)
-
-
-def merge_rank(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array):
-    """Sort-merge rank query via one sort + one cumsum.
-
-    Returns, per query, the number of table entries with key <= the query key
-    (queries sort AFTER equal-key table entries). So ``rank - 1`` is the
-    matching slot iff the key exists, and ``rank`` is the slot of the first
-    strictly-greater entry.
-    """
-    v = table.capacity
-    q = q_hi.shape[0]
-    hi = jnp.concatenate([table.key_hi, q_hi])
-    lo = jnp.concatenate([table.key_lo, q_lo])
-    tag = jnp.concatenate([jnp.zeros(v, jnp.int32), jnp.ones(q, jnp.int32)])
-    src = jnp.concatenate([jnp.arange(v, dtype=jnp.int32),
-                           jnp.arange(q, dtype=jnp.int32)])
-    s_hi, s_lo, s_tag, s_src = jax.lax.sort((hi, lo, tag, src), num_keys=3)
-    is_t = s_tag == 0
-    # rank[i] = number of table entries at positions <= i
-    rank = jnp.cumsum(is_t.astype(jnp.int32))
-    is_q = ~is_t
-    out_idx = jnp.where(is_q, s_src, q)
-    ranks = jnp.zeros((q + 1,), jnp.int32).at[out_idx].set(rank)[:q]
-    return ranks  # per query: slot index of first table entry with key >= query
-    """Vectorised lexicographic binary search.
-
-    Returns, per query, the index of the first sorted key >= query
-    (i.e. ``searchsorted(..., side='left')`` over (hi, lo) pairs).
-    """
-    n = s_hi.shape[0]
-    steps = max(1, int(n - 1).bit_length())
-    lo_b = jnp.zeros(q_hi.shape, jnp.int32)
-    hi_b = jnp.full(q_hi.shape, n, jnp.int32)
-
-    def body(_, carry):
-        lo_b, hi_b = carry
-        mid = (lo_b + hi_b) // 2
-        mid_c = jnp.clip(mid, 0, n - 1)
-        m_hi = s_hi[mid_c]
-        m_lo = s_lo[mid_c]
-        less = (m_hi < q_hi) | ((m_hi == q_hi) & (m_lo < q_lo))
-        lo_b = jnp.where(less, mid + 1, lo_b)
-        hi_b = jnp.where(less, hi_b, mid)
-        return lo_b, hi_b
-
-    lo_b, hi_b = jax.lax.fori_loop(0, steps + 1, body, (lo_b, hi_b))
-    return lo_b
 
 
 def lookup(table: VoxelTable, q_coords: jax.Array, q_batch: jax.Array,
@@ -292,6 +248,10 @@ def downsample_coords(table: VoxelTable, capacity: int):
 
     Matches SCN's ``Convolution(size=2, stride=2)`` output-site rule.
     Returns (coarse_table, parent2child (V,) int32 map fine-slot→coarse-slot).
+
+    NOTE: ``coords // 2`` of the sorted fine table is NOT sorted — collapsing
+    a higher key component exposes unsorted lower ones (two sorted (y, z)
+    runs interleave under one x//2) — so a real sort-dedup is required here.
     """
     fine_valid = table.valid_mask()
     coarse = table.coords // 2

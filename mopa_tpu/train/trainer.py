@@ -53,8 +53,10 @@ def _num_levels(cfg):
     return int(cfg.MODEL_3D.SCN.num_planes)
 
 
-def build_plan_from_batch(cfg, coords, batch_idx, valid_flat):
-    return build_unet_plan(coords, batch_idx, valid_flat, _num_levels(cfg))
+def build_plan_from_batch(cfg, coords, batch_idx, valid_flat,
+                          batch_domains=None):
+    return build_unet_plan(coords, batch_idx, valid_flat, _num_levels(cfg),
+                           batch_domains=batch_domains)
 
 
 class Models(NamedTuple):
@@ -212,20 +214,56 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         return pl2, pl3
 
     def loss_and_metrics(params_2d, params_3d, state, batch_src, batch_trg,
-                         pl_2d, pl_3d, rng):
+                         cat, plan, pl_2d, pl_3d, rng):
+        """One FUSED forward per modality: source+target images stack on the
+        2D batch axis (D=2 domain batch norm); source+target+VGI point sets
+        share ONE voxel plan / sparse-UNet pass (D=2/3 domain batch norm).
+        Numerically identical to the reference's back-to-back forwards
+        (train_xmuda_mopa.py:217-576) — per-domain BN stats, sequential
+        running updates — but the plan is built once and every GEMM sees the
+        full fused batch."""
         metrics = {}
-        r_src2, r_trg2, r_vgi = jax.random.split(rng, 3)
         bs2d = state.batch_stats_2d
         bs3d = state.batch_stats_3d
+        b, p = batch_src["img_indices"].shape[:2]
+        npnt = b * p
+
+        # ---------- fused 2D forward: [src; trg] ----------
+        img_all = jnp.concatenate([batch_src["img"], batch_trg["img"]])
+        idx_all = jnp.concatenate([batch_src["img_indices"],
+                                   batch_trg["img_indices"]])
+        pv_all = jnp.concatenate([batch_src["point_valid"],
+                                  batch_trg["point_valid"]])
+        out2d, mut2d = models.model_2d.apply(
+            {"params": params_2d, "batch_stats": bs2d},
+            img_all, idx_all, pv_all, train=True, n_domains=2,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        bs2d = mut2d["batch_stats"]
+        src_2d = {k: v[:npnt] for k, v in out2d.items()
+                  if k in ("seg_logit", "seg_logit2", "feats")}
+        trg_2d = {k: v[npnt:2 * npnt] for k, v in out2d.items()
+                  if k in ("seg_logit", "seg_logit2", "feats")}
+        if "seg_logit_all" in out2d:
+            trg_2d["seg_logit_all"] = out2d["seg_logit_all"][b:]
+
+        # ---------- fused 3D forward: [src; trg; vgi-cat] ----------
+        n_dom3 = 3 if cat is not None else 2
+        feats_all = [batch_src["feats"], batch_trg["feats"]]
+        if cat is not None:
+            feats_all.append(cat["feats"])
+        feats_all = jnp.concatenate(feats_all)
+        out3d, mut3d = models.model_3d.apply(
+            {"params": params_3d, "batch_stats": bs3d},
+            feats_all, plan, train=True, n_domains=n_dom3,
+            mutable=["batch_stats"])
+        bs3d = mut3d["batch_stats"]
+        src_3d = {k: v[:npnt] for k, v in out3d.items()}
+        trg_3d = {k: v[npnt:2 * npnt] for k, v in out3d.items()}
+        cat_3d = ({k: v[2 * npnt:] for k, v in out3d.items()}
+                  if cat is not None else None)
 
         # ---------- source ----------
         src_valid = batch_src["point_valid"].reshape(-1)
-        src_plan = build_plan_from_batch(cfg, batch_src["coords"],
-                                         batch_src["batch_idx"], src_valid)
-        src_2d, bs2d = _forward_2d(models.model_2d, params_2d, bs2d,
-                                   batch_src, r_src2, train=True)
-        src_3d, bs3d = _forward_3d(models.model_3d, params_3d, bs3d,
-                                   batch_src["feats"], src_plan, train=True)
         seg_label_src = batch_src["seg_label"]
         loss_src_2d = L.cross_entropy(src_2d["seg_logit"], seg_label_src,
                                       src_valid & (seg_label_src >= 0),
@@ -257,12 +295,6 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
 
         # ---------- target ----------
         trg_valid = batch_trg["point_valid"].reshape(-1)
-        trg_plan = build_plan_from_batch(cfg, batch_trg["coords"],
-                                         batch_trg["batch_idx"], trg_valid)
-        trg_2d, bs2d = _forward_2d(models.model_2d, params_2d, bs2d,
-                                   batch_trg, r_trg2, train=True)
-        trg_3d, bs3d = _forward_3d(models.model_3d, params_3d, bs3d,
-                                   batch_trg["feats"], trg_plan, train=True)
 
         if with_xm_trg:
             t2 = trg_2d["seg_logit2"] if dual_head else trg_2d["seg_logit"]
@@ -301,11 +333,6 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
             total = total + pc_mm.lambda_sam_cons * sam
 
         if with_vgi:
-            cat = vgi_ops.vgi_insert_batch(cfg, batch_trg, pl_3d, r_vgi)
-            cat_plan = build_plan_from_batch(cfg, cat["coords"],
-                                             cat["batch_idx"], cat["valid"])
-            cat_3d, bs3d = _forward_3d(models.model_3d, params_3d, bs3d,
-                                       cat["feats"], cat_plan, train=True)
             cat_mask = cat["valid"] & (cat["label"] >= 0)
             vgi_loss = L.cross_entropy(cat_3d["seg_logit"], cat["label"],
                                        cat_mask, pl_weights)
@@ -321,7 +348,7 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         return total, (metrics, bs2d, bs3d)
 
     def train_step(state: TrainState, batch_src: Dict, batch_trg: Dict):
-        rng, step_rng, ema_rng = jax.random.split(state.rng, 3)
+        rng, step_rng, ema_rng, vgi_rng = jax.random.split(state.rng, 4)
 
         if with_ema:
             pl_2d, pl_3d = ema_teacher_labels(state, batch_trg, ema_rng)
@@ -331,11 +358,30 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         else:
             pl_2d = pl_3d = None
 
+        # VGI transform and the fused voxel plan are pure functions of the
+        # inputs (no parameter dependence) — hoisted out of the grad fn.
+        cat = (vgi_ops.vgi_insert_batch(cfg, batch_trg, pl_3d, vgi_rng)
+               if with_vgi else None)
+        b = batch_src["img_indices"].shape[0]
+        coords = [batch_src["coords"], batch_trg["coords"]]
+        bidx = [batch_src["batch_idx"], batch_trg["batch_idx"] + b]
+        valid = [batch_src["point_valid"].reshape(-1),
+                 batch_trg["point_valid"].reshape(-1)]
+        if cat is not None:
+            coords.append(cat["coords"])
+            bidx.append(cat["batch_idx"] + 2 * b)
+            valid.append(cat["valid"])
+        batch_domains = np.repeat(
+            np.arange(len(coords), dtype=np.int32), b)
+        plan = build_plan_from_batch(
+            cfg, jnp.concatenate(coords), jnp.concatenate(bidx),
+            jnp.concatenate(valid), batch_domains=batch_domains)
+
         grad_fn = jax.value_and_grad(loss_and_metrics, argnums=(0, 1),
                                      has_aux=True)
         (loss, (metrics, bs2d, bs3d)), (g2d, g3d) = grad_fn(
             state.params_2d, state.params_3d, state, batch_src, batch_trg,
-            pl_2d, pl_3d, step_rng)
+            cat, plan, pl_2d, pl_3d, step_rng)
 
         g2d = pmean(g2d)
         g3d = pmean(g3d)

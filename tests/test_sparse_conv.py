@@ -233,3 +233,60 @@ def test_custom_vjp_matches_autodiff():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-3)
+
+
+def _brute_force_nbr(table_np_coords, table_np_batch, valid_np):
+    """O(V^2) reference neighbour map for small tables."""
+    offs = sc.kernel_offsets(3)
+    v = table_np_coords.shape[0]
+    nbr = np.full((v, 27), -1, np.int32)
+    index = {}
+    for i in range(v):
+        if valid_np[i]:
+            index[(table_np_batch[i],) + tuple(table_np_coords[i])] = i
+    for i in range(v):
+        if not valid_np[i]:
+            continue
+        for k, off in enumerate(offs):
+            q = (table_np_batch[i],) + tuple(table_np_coords[i] + off)
+            nbr[i, k] = index.get(q, -1)
+    return nbr
+
+
+def test_submanifold_plan_transpose_trick_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    for n in (40, 120):
+        coords, batch_idx, valid, _ = make_cloud(rng, n=n, scale=6)
+        # mix in a second batch element to exercise batch separation
+        batch_idx = batch_idx.copy()
+        batch_idx[::3] = 1
+
+        @jax.jit
+        def run():
+            table, _, _ = voxel.voxelize(coords, batch_idx, valid)
+            return (sc.build_submanifold_plan(table), table.coords,
+                    table.batch, table.key_hi)
+
+        nbr, t_coords, t_batch, key_hi = jax.tree_util.tree_map(
+            np.asarray, run())
+        tvalid = key_hi != np.iinfo(np.int32).max
+        ref = _brute_force_nbr(t_coords, t_batch, tvalid)
+        np.testing.assert_array_equal(nbr, ref)
+
+
+def test_down_plan_from_f2c_matches_merge_lookup():
+    rng = np.random.default_rng(4)
+    coords, batch_idx, valid, _ = make_cloud(rng, n=80, scale=8)
+
+    @jax.jit
+    def run():
+        table, _, _ = voxel.voxelize(coords, batch_idx, valid)
+        coarse, f2c = voxel.downsample_coords(table, table.capacity)
+        old = sc.build_down_plan(table, coarse)
+        up_off = sc.up_offset_index(table)
+        new = sc.down_plan_from_f2c(f2c, up_off, table.valid_mask(),
+                                    coarse.capacity)
+        return old, new
+
+    old, new = jax.tree_util.tree_map(np.asarray, run())
+    np.testing.assert_array_equal(old, new)
