@@ -117,6 +117,10 @@ _C.TPU.DATA_PARALLEL = 0
 _C.TPU.SAM_MASK_BUDGET = 64
 # Number of candidate insertion centers scored per VGI object.
 _C.TPU.VGI_CENTER_BUDGET = 4096
+# Path to a torchvision resnet34 state_dict (.pth) for the pretrained 2D
+# encoder (MODEL_2D.<TYPE>.pretrained). Empty: also checks the
+# MOPA_RESNET34_WEIGHTS environment variable, then trains from scratch.
+_C.TPU.RESNET34_WEIGHTS = ""
 
 # ---------------------------------------------------------------------------- #
 # Misc

@@ -117,6 +117,54 @@ def import_reference_2d(state_dict, dual_head=True):
     return params, stats
 
 
+def load_resnet34_encoder(state_dict, prefix="net_2d"):
+    """Map a torchvision ``resnet34`` state_dict onto the UNetResNet34
+    ENCODER parameter names (decoder stays at its random initialisation,
+    exactly like the reference, which builds the decoder fresh on top of
+    ``torchvision.models.resnet34(pretrained=True)`` —
+    ``mopa/models/resnet34_unet.py:92-110``).
+
+    Accepts either bare torchvision names (``conv1.weight``, ``layer1.0...``)
+    or the same under a ``net_2d.`` / ``module.`` prefix. ``fc.*`` and
+    ``num_batches_tracked`` entries are ignored.
+
+    Returns (params_flat, batch_stats_flat) for :func:`unflatten_into`.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.replace("module.", "")
+        if k.startswith("net_2d."):
+            k = k[len("net_2d."):]
+        sd[k] = np.asarray(v)
+    params = {}
+    stats = {}
+
+    def bn(src, dst):
+        params[dst + ".scale"] = sd[src + ".weight"]
+        params[dst + ".bias"] = sd[src + ".bias"]
+        stats[dst + ".mean"] = sd[src + ".running_mean"]
+        stats[dst + ".var"] = sd[src + ".running_var"]
+
+    def conv(src, dst):
+        params[dst + ".kernel"] = _t_conv(sd[src + ".weight"])
+
+    conv("conv1", prefix + ".conv1")
+    bn("bn1", prefix + ".bn1")
+    blocks = {"layer1": 3, "layer2": 4, "layer3": 6, "layer4": 3}
+    for layer, n_blocks in blocks.items():
+        for b in range(n_blocks):
+            src = "{}.{}".format(layer, b)
+            dst = "{}.{}.block{}".format(prefix, layer, b)
+            conv(src + ".conv1", dst + ".conv1")
+            bn(src + ".bn1", dst + ".bn1")
+            conv(src + ".conv2", dst + ".conv2")
+            bn(src + ".bn2", dst + ".bn2")
+            if src + ".downsample.0.weight" in sd:
+                conv(src + ".downsample.0", dst + ".downsample_conv")
+                bn(src + ".downsample.1", dst + ".downsample_bn")
+    return params, stats
+
+
 def import_reference_3d(state_dict, m=16, num_planes=7, dual_head=True):
     """Map a reference Net3DSeg (SparseConvNet UNet) torch state_dict onto the
     flax SparseUNet names.

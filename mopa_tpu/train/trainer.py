@@ -96,9 +96,41 @@ def create_train_state(cfg, models: Models, example_batch, seed=None):
 
     params_2d = vars_2d["params"]
     params_3d = vars_3d["params"]
+    batch_stats_2d = vars_2d.get("batch_stats", {})
+
+    # ImageNet-pretrained 2D encoder (reference resnet34_unet.py:92-94 trains
+    # from torchvision resnet34(pretrained=True); every published mIoU
+    # depends on it). Weights come from a torchvision state_dict on disk.
+    if getattr(models.model_2d, "pretrained", False):
+        import os as _os
+
+        weights = ""
+        if "TPU" in cfg and cfg.TPU.get("RESNET34_WEIGHTS", ""):
+            weights = cfg.TPU.RESNET34_WEIGHTS
+        weights = weights or _os.environ.get("MOPA_RESNET34_WEIGHTS", "")
+        if weights and _os.path.isfile(weights):
+            import torch
+
+            from mopa_tpu.models.torch_compat import (load_resnet34_encoder,
+                                                      unflatten_into)
+
+            sd = torch.load(weights, map_location="cpu", weights_only=False)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            p_flat, s_flat = load_resnet34_encoder(sd)
+            params_2d = unflatten_into(params_2d, p_flat)
+            batch_stats_2d = unflatten_into(batch_stats_2d, s_flat)
+        elif jax.process_index() == 0:
+            import logging
+
+            logging.getLogger("mopa_tpu").warning(
+                "MODEL_2D pretrained=True but no resnet34 weights file found "
+                "(set TPU.RESNET34_WEIGHTS or MOPA_RESNET34_WEIGHTS); "
+                "the 2D encoder trains from scratch.")
+
     return TrainState(
         params_2d=params_2d,
-        batch_stats_2d=vars_2d.get("batch_stats", {}),
+        batch_stats_2d=batch_stats_2d,
         opt_2d=models.tx_2d.init(params_2d),
         params_3d=params_3d,
         batch_stats_3d=vars_3d.get("batch_stats", {}),

@@ -161,3 +161,77 @@ def test_2d_checkpoint_import_output_parity():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(preds["seg_logit2"]), tlogit2,
                                rtol=1e-3, atol=1e-3)
+
+
+def test_load_resnet34_encoder_matches_reference_import():
+    """The torchvision-style encoder import must agree key-for-key with the
+    (output-parity-tested) full-model importer's encoder subset."""
+    from mopa_tpu.models.torch_compat import load_resnet34_encoder
+
+    torch.manual_seed(1)
+    tmodel = TUNetResNet34()
+    for m in tmodel.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.data.normal_(0, 0.1)
+            m.running_var.data.uniform_(0.5, 1.5)
+    # torchvision-style names: the reference wraps torchvision modules under
+    # net_2d., so the in-test model's bare names ARE torchvision's (plus fc,
+    # absent here — load_resnet34_encoder must not require it)
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()
+          if not k.startswith("dec_")}
+    p_new, s_new = load_resnet34_encoder(sd)
+
+    full_sd = {"net_2d." + k: v.numpy() for k, v in tmodel.state_dict().items()}
+    full_sd["linear.weight"] = np.zeros((5, 64), np.float32)
+    full_sd["linear.bias"] = np.zeros((5,), np.float32)
+    p_ref, s_ref = import_reference_2d(full_sd)
+
+    enc_keys = [k for k in p_ref
+                if not k.startswith("net_2d.dec_") and not k.startswith("linear")]
+    assert sorted(p_new) == sorted(enc_keys)
+    for k in enc_keys:
+        np.testing.assert_array_equal(p_new[k], p_ref[k])
+    enc_stats = [k for k in s_ref if not k.startswith("net_2d.dec_")]
+    assert sorted(s_new) == sorted(enc_stats)
+    for k in enc_stats:
+        np.testing.assert_array_equal(s_new[k], s_ref[k])
+
+
+def test_pretrained_flag_loads_encoder_weights(tmp_path):
+    """create_train_state consumes MODEL_2D pretrained via TPU.RESNET34_WEIGHTS."""
+    import os
+
+    from mopa_tpu.config.xmuda import cfg as base_cfg
+    from mopa_tpu.data.build import build_dataloader
+    from mopa_tpu.train import trainer as trainer_mod
+    from mopa_tpu.train.common import device_batch
+
+    torch.manual_seed(2)
+    tmodel = TUNetResNet34()
+    sd = {k: v for k, v in tmodel.state_dict().items()
+          if not k.startswith("dec_")}
+    weights_path = tmp_path / "resnet34.pth"
+    torch.save(sd, weights_path)
+
+    c = base_cfg.clone()
+    c.merge_from_file(os.path.join(os.path.dirname(__file__),
+                                   "../configs/synthetic/mopa_smoke.yaml"))
+    c.TRAIN.BATCH_SIZE = 1
+    c.TPU.POINT_BUDGET = 128
+    c.TPU.RESNET34_WEIGHTS = str(weights_path)
+    c.MODEL_3D.SCN.num_planes = 3
+    c.MODEL_3D.SCN.m = 4
+    for d in (c.DATASET_SOURCE.SyntheticSCN, c.DATASET_TARGET.SyntheticSCN):
+        d.n_points = 200
+        d.image_size = (32, 32)
+    assert c.MODEL_2D.UNetResNet34.pretrained
+
+    models, _ = trainer_mod.build_models(c, output_all=False)
+    batch = device_batch(next(iter(build_dataloader(c, "train", "source"))))
+    state = trainer_mod.create_train_state(c, models, batch)
+
+    got = np.asarray(state.params_2d["net_2d"]["conv1"]["kernel"])
+    want = np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    got_bn = np.asarray(state.batch_stats_2d["net_2d"]["bn1"]["mean"])
+    np.testing.assert_allclose(got_bn, sd["bn1.running_mean"].numpy(), rtol=1e-6)
