@@ -209,6 +209,8 @@ _C.DATASET_SOURCE.SyntheticSCN.with_pseudo_labels = False
 _C.DATASET_SOURCE.SyntheticSCN.with_sam_mask = False
 _C.DATASET_SOURCE.SyntheticSCN.with_vgi = False
 _C.DATASET_SOURCE.SyntheticSCN.with_ema = False
+_C.DATASET_SOURCE.SyntheticSCN.multi_objs = False
+_C.DATASET_SOURCE.SyntheticSCN.n_objs = 3
 _C.DATASET_TARGET.SyntheticSCN = CN(_C.DATASET_SOURCE.SyntheticSCN)
 
 # ---------------------------------------------------------------------------- #

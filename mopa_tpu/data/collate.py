@@ -17,7 +17,7 @@ Output keys (superset, by feature availability — mirrors the reference's):
           ori_batch_idx (B*P,)  ori_point_valid (B,P)  ori_feats (B*P,Cin)
           ema_map (B,P) int32: student-point -> ori-point index (-1 pad)
     VGI:  ori_points (B,P,4)  ori_points_valid (B,P)  g_mask (B,P)
-          obj_pc (B,O,4)  obj_valid (B,O)  obj_label (B,)
+          obj_pc (B,K,O,4)  obj_valid (B,K,O)  obj_label (B,K)
           proj_matrix (B,3,4)  img_size (B,2)
     num_points (B,) true counts (diagnostics / overflow accounting)
 """
@@ -98,6 +98,11 @@ def collate_padded(samples: List[Dict], point_budget: int,
             lab, _ = stack_points(key, -100, np.int32)
             out[key] = lab.reshape(b * p)
 
+    if "points_xyz" in samples[0]:
+        # metric sensor-frame points for eval-time KNN range projection
+        pxyz, _ = stack_points("points_xyz", 0, np.float32)
+        out["points_xyz"] = pxyz
+
     if "sam_mask" in samples[0]:
         out["sam_mask"] = np.stack(
             [remap_mask_ids(np.asarray(s["sam_mask"]), mask_budget) for s in samples])
@@ -128,17 +133,29 @@ def collate_padded(samples: List[Dict], point_budget: int,
         if "ori_pseudo_label_3d" in samples[0]:
             opl, _ = stack_points("ori_pseudo_label_3d", -100, np.int32)
             out["ori_pseudo_label_3d"] = opl
+        # K candidate objects per scan (K=1 for multi_objs=False); padded to
+        # the max K in the batch so single- and multi-object configs share
+        # one layout (B, K, O, 4)
+        k_max = max(len(s["ori_obj_pc"]) for s in samples)
         objs, labels, ovalid = [], [], []
         for s in samples:
-            # one inserted object per scan (reference multi_objs=False default)
-            opc = np.asarray(s["ori_obj_pc"][0], np.float32)
-            opc, n = _pad_to(opc, obj_budget, 0)
-            objs.append(opc)
-            ovalid.append(np.arange(obj_budget) < n)
-            labels.append(int(np.asarray(s["ori_obj_label"][0]).flat[0]))
-        out["obj_pc"] = np.stack(objs)
-        out["obj_valid"] = np.stack(ovalid)
-        out["obj_label"] = np.asarray(labels, np.int32)
+            s_objs, s_valid, s_labels = [], [], []
+            for ki in range(k_max):
+                if ki < len(s["ori_obj_pc"]):
+                    opc = np.asarray(s["ori_obj_pc"][ki], np.float32)
+                    opc, n = _pad_to(opc, obj_budget, 0)
+                    lab = int(np.asarray(s["ori_obj_label"][ki]).flat[0])
+                else:
+                    opc, n, lab = np.zeros((obj_budget, 4), np.float32), 0, -100
+                s_objs.append(opc)
+                s_valid.append(np.arange(obj_budget) < n)
+                s_labels.append(lab)
+            objs.append(np.stack(s_objs))
+            ovalid.append(np.stack(s_valid))
+            labels.append(s_labels)
+        out["obj_pc"] = np.stack(objs)                       # (B, K, O, 4)
+        out["obj_valid"] = np.stack(ovalid)                  # (B, K, O)
+        out["obj_label"] = np.asarray(labels, np.int32)      # (B, K)
         out["proj_matrix"] = np.stack(
             [np.asarray(s["proj_matrix"], np.float32)[:3, :4] for s in samples])
         out["img_size"] = np.stack(

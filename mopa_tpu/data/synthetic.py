@@ -24,7 +24,7 @@ class SyntheticSCN:
                  transl=True, fliplr=0.5, color_jitter=None, output_orig=False,
                  with_pseudo_labels=False, with_sam_mask=False,
                  with_vgi=False, with_ema=False, sam_mask_budget=16,
-                 seed=0, rng=None, **_unused):
+                 multi_objs=False, n_objs=3, seed=0, rng=None, **_unused):
         self.length = length
         self.n_points = n_points
         self.image_size = tuple(image_size)  # (W, H)
@@ -43,6 +43,8 @@ class SyntheticSCN:
         self.with_vgi = with_vgi
         self.with_ema = with_ema
         self.sam_mask_budget = sam_mask_budget
+        self.multi_objs = multi_objs
+        self.n_objs = n_objs
         self.rng = rng or np.random.default_rng(seed)
 
     def __len__(self):
@@ -155,6 +157,7 @@ class SyntheticSCN:
             out["sam_mask"] = mask
 
         if self.output_orig:
+            out["points_xyz"] = points[idxs].astype(np.float32)
             out["orig_seg_label"] = labels
             out["orig_points_idx"] = idxs
 
@@ -169,13 +172,19 @@ class SyntheticSCN:
             out["ema_map"] = np.where(ori_idxs, ori_pos, -1)[idxs].astype(np.int32)
 
         if self.with_vgi:
-            m = int(rng.integers(96, 256))
-            c = np.array([rng.uniform(5, 12), rng.uniform(-2, 2),
-                          rng.uniform(-1.6, -1.0)])
-            obj = (c + rng.uniform(-0.4, 0.4, (m, 3))).astype(np.float32)
-            obj = np.concatenate([obj, rng.uniform(0, 1, (m, 1)).astype(np.float32)], 1)
-            out["ori_obj_pc"] = [obj]
-            out["ori_obj_label"] = [np.full(m, 3)]
+            n_objs = self.n_objs if self.multi_objs else 1
+            obj_ls, lab_ls = [], []
+            for k in range(n_objs):
+                m = int(rng.integers(96, 256))
+                c = np.array([rng.uniform(5, 12), rng.uniform(-2, 2),
+                              rng.uniform(-1.6, -1.0)])
+                obj = (c + rng.uniform(-0.4, 0.4, (m, 3))).astype(np.float32)
+                obj = np.concatenate(
+                    [obj, rng.uniform(0, 1, (m, 1)).astype(np.float32)], 1)
+                obj_ls.append(obj)
+                lab_ls.append(np.full(m, 3 - k % 3))
+            out["ori_obj_pc"] = obj_ls
+            out["ori_obj_label"] = lab_ls
             out["ori_points"] = np.concatenate(
                 [ori_points, np.ones((ori_points.shape[0], 1), np.float32)], 1)
             out["ori_img_size"] = np.asarray(self.image_size, np.int32)

@@ -62,31 +62,47 @@ def _box_sum(sat, s, ext):
             + g(x0, y0, z1) + g(x0, y1, z0) + g(x1, y0, z0) - g(x0, y0, z0))
 
 
-def vgi_insert_sample(points, pvalid, ps_label, g_mask, obj, ovalid, obj_label,
-                      proj_matrix, img_size, rng, *, voxel_size, search_range,
-                      z_min, front_axis_x):
-    """Place one object into one scan. All shapes static.
+def vgi_insert_sample(points, pvalid, ps_label, g_mask, objs, ovalid,
+                      obj_labels, proj_matrix, img_size, rng, *, voxel_size,
+                      search_range, z_min, front_axis_x):
+    """Place K candidate objects into one scan. All shapes static.
+
+    Multi-object semantics follow the reference's "ground" insert mode
+    (``mixmatch_ss.py:107-192`` + ``obj_on_road`` :355-455): objects are
+    ranked by xy-diagonal extent; the largest object with a non-empty
+    valid-center set becomes the *anchor*. Larger objects that failed before
+    the anchor are skipped; the anchor and every smaller object each draw an
+    independent ground center from the anchor's valid-center set and get
+    their own orientation-preserving cylinder transform (the reference does
+    not re-check collisions between inserted objects).
 
     Args:
         points: (P, 4) unaugmented scan (xyzi).
         pvalid: (P,) scan padding mask.
         ps_label: (P,) int32 pseudo-labels for scan points (-100 allowed).
         g_mask: (P,) bool Patchwork ground mask.
-        obj: (O, 4) object points; ovalid: (O,).
-        obj_label: () int32 class of the object.
+        objs: (K, O, 4) object points; ovalid: (K, O).
+        obj_labels: (K,) int32 class per object.
         proj_matrix: (3, 4) lidar->image projection.
         img_size: (2,) (W, H).
         front_axis_x: python bool — KITTI (x fwd) vs nuScenes (y fwd) window.
 
-    Returns dict: new_obj (O, 3) transformed points, inserted () bool.
+    Returns dict: new_obj (K, O, 3) transformed points, inserted (K,) bool.
     """
     import math
+
+    single = objs.ndim == 2  # legacy (O, 4) single-object layout
+    if single:
+        objs = objs[None]
+        ovalid = ovalid[None]
+        obj_labels = jnp.asarray(obj_labels).reshape(1)
 
     vs = voxel_size
     sx = int(search_range[0] / vs)
     sy = int(search_range[1] / vs)
     zmin_vox = int(math.floor(z_min / vs))
     gx_dim, gy_dim = 2 * sx, 2 * sy
+    k_objs = objs.shape[0]
 
     pts = points[:, :3]
     vox = jnp.floor(pts / vs).astype(jnp.int32)
@@ -96,22 +112,13 @@ def vgi_insert_sample(points, pvalid, ps_label, g_mask, obj, ovalid, obj_label,
     else:
         off = jnp.asarray([-sx, 0, zmin_vox], jnp.int32)
     gidx = vox - off
-    # object extent in voxels (circumscribed xy circle for free rotation)
     inf = jnp.float32(1e30)
-    om = jnp.where(ovalid[:, None], obj[:, :3], inf)
-    omin_m = jnp.min(om, axis=0)
-    om = jnp.where(ovalid[:, None], obj[:, :3], -inf)
-    omax_m = jnp.max(om, axis=0)
-    ovox_min = jnp.floor(omin_m / vs)
-    ovox_max = jnp.floor(omax_m / vs)
-    ext = (ovox_max - ovox_min + 1).astype(jnp.int32)
-    ext_xy = jnp.ceil(jnp.sqrt(ext[0] ** 2 + ext[1] ** 2)).astype(jnp.int32)
-    ez = jnp.minimum(ext[2], Z_BUDGET - 2)
-    ext_box = jnp.stack([ext_xy, ext_xy, ez])
 
-    # occupancy within the reference's z window [zmin, zmin + ez + 2)
-    zin = (gidx[:, 2] >= 0) & (gidx[:, 2] < ez + 2)
-    inb = (pvalid & zin
+    # ----- scan-level (object-independent) structures -----
+    # occupancy over the full z budget; per-object z windows are enforced by
+    # the box query's extent
+    inb = (pvalid
+           & (gidx[:, 2] >= 0) & (gidx[:, 2] < Z_BUDGET)
            & (gidx[:, 0] >= 0) & (gidx[:, 0] < gx_dim)
            & (gidx[:, 1] >= 0) & (gidx[:, 1] < gy_dim))
     flat = jnp.where(inb, (gidx[:, 0] * gy_dim + gidx[:, 1]) * Z_BUDGET
@@ -122,52 +129,11 @@ def vgi_insert_sample(points, pvalid, ps_label, g_mask, obj, ovalid, obj_label,
     occ = occ[:-1].reshape(gx_dim, gy_dim, Z_BUDGET)
     sat = _sat3(occ)
 
-    # candidate starts: all (x, y) grid cells, z-start in {0, 1}
     xs = jnp.arange(gx_dim, dtype=jnp.int32)
     ys = jnp.arange(gy_dim, dtype=jnp.int32)
     gxx, gyy = jnp.meshgrid(xs, ys, indexing="ij")
 
-    def collision_free(z0):
-        s = jnp.stack([gxx, gyy, jnp.full_like(gxx, z0)], axis=-1)
-        fits = ((s[..., 0] + ext_box[0] <= gx_dim)
-                & (s[..., 1] + ext_box[1] <= gy_dim)
-                & (z0 + ext_box[2] <= Z_BUDGET))
-        e_cl = jnp.minimum(s + ext_box, jnp.asarray([gx_dim, gy_dim, Z_BUDGET]))
-        s_cl = jnp.minimum(s, e_cl)
-        box = _box_sum(sat, s_cl, e_cl - s_cl)
-        return fits & (box == 0)
-
-    free = collision_free(0) | collision_free(1)  # (gx, gy)
-
-    # centers in meters for (x, y) cells (z-agnostic; ground supplies z)
-    cx = (gxx.astype(jnp.float32) + (ext_box[0].astype(jnp.float32) - 1) / 2
-          + off[0]) * vs
-    cy = (gyy.astype(jnp.float32) + (ext_box[1].astype(jnp.float32) - 1) / 2
-          + off[1]) * vs
-    # reference quantizes chosen centers back to the voxel lattice
-    qx = jnp.floor(cx / vs) * vs
-    qy = jnp.floor(cy / vs) * vs
-
-    # condition 1: front half + image frustum (reference :143-153)
-    valid = free & (cx > 0)
-    w = img_size[0].astype(jnp.float32)
-    h = img_size[1].astype(jnp.float32)
-    # project with ground-level z (approximation of the conv-derived z center;
-    # the final z comes from the road snap anyway)
-    cz = jnp.full_like(cx, z_min + 1.0)
-    ones = jnp.ones_like(cx)
-    hom = jnp.stack([cx, cy, cz, ones], axis=-1)  # (gx, gy, 4)
-    uvw = jnp.einsum("rc,xyc->xyr", proj_matrix, hom)
-    uu = uvw[..., 0] / jnp.where(jnp.abs(uvw[..., 2]) > 1e-6, uvw[..., 2], 1e-6)
-    vv = uvw[..., 1] / jnp.where(jnp.abs(uvw[..., 2]) > 1e-6, uvw[..., 2], 1e-6)
-    valid = valid & (uu > 0) & (uu < w) & (vv > 0) & (vv < h) & (uvw[..., 2] > 0)
-
-    # condition 2: farther than the object's original center (:155-160)
-    obj_center = (omax_m + omin_m) / 2
-    ori_range = jnp.sqrt(obj_center[0] ** 2 + obj_center[1] ** 2)
-    valid = valid & (jnp.sqrt(cx ** 2 + cy ** 2) >= ori_range)
-
-    # condition 3: ground support — 2D ground-cell grid + min point z per cell
+    # ground support: 2D ground-cell grid + min point z per cell
     g_sel = pvalid & g_mask
     g2d_ok = (g_sel & (gidx[:, 0] >= 0) & (gidx[:, 0] < gx_dim)
               & (gidx[:, 1] >= 0) & (gidx[:, 1] < gy_dim))
@@ -177,35 +143,156 @@ def vgi_insert_sample(points, pvalid, ps_label, g_mask, obj, ovalid, obj_label,
         g2d_ok.astype(jnp.int32))[:-1].reshape(gx_dim, gy_dim)
     zmin_cell = jnp.full(gx_dim * gy_dim + 1, inf).at[flat2d].min(
         jnp.where(g2d_ok, pts[:, 2], inf))[:-1].reshape(gx_dim, gy_dim)
-    valid = valid & (gground > 0)
 
-    n_valid = jnp.sum(valid)
-    inserted = (n_valid > 0) & (jnp.sum(ovalid) > 0)
+    w = img_size[0].astype(jnp.float32)
+    h = img_size[1].astype(jnp.float32)
 
-    # uniform draw over valid cells (masked gumbel-argmax)
+    # ----- per-object candidate-cell masks -----
+    def obj_valid_cells(obj, ov):
+        # object extent in voxels (circumscribed xy circle for free rotation)
+        om = jnp.where(ov[:, None], obj[:, :3], inf)
+        omin_m = jnp.min(om, axis=0)
+        om = jnp.where(ov[:, None], obj[:, :3], -inf)
+        omax_m = jnp.max(om, axis=0)
+        ovox_min = jnp.floor(omin_m / vs)
+        ovox_max = jnp.floor(omax_m / vs)
+        ext = (ovox_max - ovox_min + 1).astype(jnp.int32)
+        ext_xy = jnp.ceil(jnp.sqrt(ext[0] ** 2 + ext[1] ** 2)).astype(jnp.int32)
+        # box z extent = object z extent; with z-start in {0, 1} the query
+        # never reads above the reference's [zmin, zmin + ez + 2) window
+        ez = jnp.minimum(ext[2], Z_BUDGET - 2)
+        ext_box = jnp.stack([ext_xy, ext_xy, ez])
+
+        def collision_free(z0):
+            s = jnp.stack([gxx, gyy, jnp.full_like(gxx, z0)], axis=-1)
+            fits = ((s[..., 0] + ext_box[0] <= gx_dim)
+                    & (s[..., 1] + ext_box[1] <= gy_dim)
+                    & (z0 + ext_box[2] <= Z_BUDGET))
+            e_cl = jnp.minimum(s + ext_box,
+                               jnp.asarray([gx_dim, gy_dim, Z_BUDGET]))
+            s_cl = jnp.minimum(s, e_cl)
+            box = _box_sum(sat, s_cl, e_cl - s_cl)
+            return fits & (box == 0)
+
+        free = collision_free(0) | collision_free(1)  # (gx, gy)
+
+        # centers in meters for (x, y) cells (z-agnostic; ground supplies z)
+        cx = (gxx.astype(jnp.float32)
+              + (ext_box[0].astype(jnp.float32) - 1) / 2 + off[0]) * vs
+        cy = (gyy.astype(jnp.float32)
+              + (ext_box[1].astype(jnp.float32) - 1) / 2 + off[1]) * vs
+        # reference quantizes chosen centers back to the voxel lattice
+        qx = jnp.floor(cx / vs) * vs
+        qy = jnp.floor(cy / vs) * vs
+
+        # condition 1: front half + image frustum (reference :143-153)
+        valid = free & (cx > 0)
+        # project with ground-level z (approximation of the conv-derived z
+        # center; the final z comes from the road snap anyway)
+        cz = jnp.full_like(cx, z_min + 1.0)
+        ones = jnp.ones_like(cx)
+        hom = jnp.stack([cx, cy, cz, ones], axis=-1)  # (gx, gy, 4)
+        uvw = jnp.einsum("rc,xyc->xyr", proj_matrix, hom)
+        den = jnp.where(jnp.abs(uvw[..., 2]) > 1e-6, uvw[..., 2], 1e-6)
+        uu = uvw[..., 0] / den
+        vv = uvw[..., 1] / den
+        valid = valid & (uu > 0) & (uu < w) & (vv > 0) & (vv < h) \
+            & (uvw[..., 2] > 0)
+
+        # condition 2: farther than the object's original center (:155-160)
+        obj_center = (omax_m + omin_m) / 2
+        ori_range = jnp.sqrt(obj_center[0] ** 2 + obj_center[1] ** 2)
+        valid = valid & (jnp.sqrt(cx ** 2 + cy ** 2) >= ori_range)
+
+        # condition 3: ground support
+        valid = valid & (gground > 0)
+
+        extent_diag = jnp.sqrt((omax_m[0] - omin_m[0]) ** 2
+                               + (omax_m[1] - omin_m[1]) ** 2)
+        return (valid, qx, qy, extent_diag, obj_center, omin_m[2], ori_range,
+                ext_xy)
+
+    (valid_k, qx_k, qy_k, extent_k, center_k, ominz_k, orange_k,
+     extvox_k) = jax.vmap(obj_valid_cells)(objs, ovalid)
+
+    nonempty_k = jnp.sum(ovalid, axis=1) > 0
+    has_valid_k = jnp.any(valid_k, axis=(1, 2)) & nonempty_k
+
+    # anchor selection: descending xy-diagonal extent (reference :110-124)
+    order = jnp.argsort(-jnp.where(nonempty_k, extent_k, -inf))
+    has_sorted = has_valid_k[order]
+    any_success = jnp.any(has_valid_k)
+    pos_success = jnp.argmax(has_sorted)  # first True position
+    anchor = order[pos_success]
+    # rank of each object in the anchor order
+    rank = jnp.zeros(k_objs, jnp.int32).at[order].set(
+        jnp.arange(k_objs, dtype=jnp.int32))
+    inserted = any_success & (rank >= pos_success) & nonempty_k
+
+    anchor_valid = valid_k[anchor]  # (gx, gy) — shared candidate set
+    anchor_qx = qx_k[anchor]
+    anchor_qy = qy_k[anchor]
+
+    # uniform draw per object over the anchor's valid cells. The reference
+    # draws independently (np.random.choice per object, obj_on_road :411),
+    # which can overlap two inserted objects; here draws are sequential in
+    # anchor order and each placed object blocks a Chebyshev disk of the
+    # anchor's xy extent — since the anchor is the largest inserted object,
+    # blocked distance >= (ext_j + ext_k)/2 for every pair, so inserted
+    # objects never overlap each other.
     gkey, zkey = jax.random.split(rng)
-    gumbel = jax.random.gumbel(gkey, valid.shape)
-    score = jnp.where(valid, gumbel, -jnp.inf)
-    pick = jnp.argmax(score)
+    gumbel = jax.random.gumbel(gkey, (k_objs,) + anchor_valid.shape)
+    r_block = extvox_k[anchor]
+
+    def draw_body(i, carry):
+        blocked, picks, drew = carry
+        k = order[i]
+        avail = anchor_valid & ~blocked
+        want = rank[k] >= pos_success
+        has = jnp.any(avail) & want
+        score = jnp.where(avail, gumbel[k], -jnp.inf)
+        pick = jnp.argmax(score)
+        px, py = pick // gy_dim, pick % gy_dim
+        near_x = jnp.abs(xs - px) <= r_block
+        near_y = jnp.abs(ys - py) <= r_block
+        disk = near_x[:, None] & near_y[None, :]
+        blocked = blocked | (disk & has)
+        return (blocked, picks.at[k].set(pick), drew.at[k].set(has))
+
+    _, pick, drew = jax.lax.fori_loop(
+        0, k_objs, draw_body,
+        (jnp.zeros((gx_dim, gy_dim), bool),
+         jnp.zeros(k_objs, jnp.int32), jnp.zeros(k_objs, bool)))
+    inserted = inserted & drew
     px, py = pick // gy_dim, pick % gy_dim
 
-    new_center = jnp.stack([qx[px, py], qy[px, py]])
+    new_cx = anchor_qx[px, py]
+    new_cy = anchor_qy[px, py]
     road_z = jnp.where(jnp.isfinite(zmin_cell[px, py]), zmin_cell[px, py],
                        z_min)
 
-    # cylinder-coordinate translation (reference :417-451)
-    theta_obj = jnp.arctan2(obj_center[1], obj_center[0])
-    r_obj = ori_range
-    theta_new = jnp.arctan2(new_center[1], new_center[0])
-    r_new = jnp.sqrt(new_center[0] ** 2 + new_center[1] ** 2)
+    # cylinder-coordinate translation per object (reference :417-451)
+    theta_obj = jnp.arctan2(center_k[:, 1], center_k[:, 0])
+    r_obj = orange_k
+    theta_new = jnp.arctan2(new_cy, new_cx)
+    r_new = jnp.sqrt(new_cx ** 2 + new_cy ** 2)
     d_r = r_new - r_obj
     d_theta = theta_new - theta_obj
-    z_disc = road_z - omin_m[2] + jax.random.uniform(zkey) * 0.1
-    t = jnp.stack([d_r * jnp.cos(theta_obj), d_r * jnp.sin(theta_obj), z_disc])
+    zjit = jax.random.uniform(zkey, (k_objs,))
+    z_disc = road_z - ominz_k + zjit * 0.1
+    t = jnp.stack([d_r * jnp.cos(theta_obj), d_r * jnp.sin(theta_obj),
+                   z_disc], axis=-1)  # (K, 3)
     c, s = jnp.cos(d_theta), jnp.sin(d_theta)
-    rot = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    rot = jnp.stack([
+        jnp.stack([c, -s, zero], -1),
+        jnp.stack([s, c, zero], -1),
+        jnp.stack([zero, zero, one], -1)], -2)  # (K, 3, 3)
     # FIRST translate THEN rotate (reference :448-451)
-    new_obj = (obj[:, :3] + t) @ rot.T
+    new_obj = jnp.einsum("kod,krd->kor", objs[:, :, :3] + t[:, None], rot)
+    if single:
+        return {"new_obj": new_obj[0], "inserted": inserted[0]}
     return {"new_obj": new_obj, "inserted": inserted}
 
 
@@ -237,13 +324,16 @@ def vgi_insert_batch(cfg, batch_trg: Dict, pl_3d, rng) -> Dict:
 
         g_mask = jax.vmap(lambda p, v: estimate_ground(p[:, :3], v))(
             points, pvalid)
-    obj = batch_trg["obj_pc"]                 # (B, O, 4)
-    ovalid = batch_trg["obj_valid"]           # (B, O)
-    obj_label = batch_trg["obj_label"]        # (B,)
+    obj = batch_trg["obj_pc"]                 # (B, K, O, 4)
+    ovalid = batch_trg["obj_valid"]           # (B, K, O)
+    obj_label = batch_trg["obj_label"]        # (B, K)
+    if obj.ndim == 3:                         # single-object legacy layout
+        obj, ovalid, obj_label = (obj[:, None], ovalid[:, None],
+                                  obj_label[:, None])
     proj = batch_trg["proj_matrix"]           # (B, 3, 4)
     img_size = batch_trg["img_size"]          # (B, 2)
     b, p = pvalid.shape
-    o = ovalid.shape[1]
+    k_objs, o = ovalid.shape[1], ovalid.shape[2]
 
     if pl_3d is None:
         scan_label = jnp.full((b, p), -100, jnp.int32)
@@ -264,19 +354,24 @@ def vgi_insert_batch(cfg, batch_trg: Dict, pl_3d, rng) -> Dict:
     )(points, pvalid, scan_label, g_mask, obj, ovalid, obj_label, proj,
       img_size, sample_keys)
 
-    inserted = ins["inserted"]                      # (B,)
-    new_obj = ins["new_obj"]                        # (B, O, 3)
+    inserted = ins["inserted"]                      # (B, K)
+    new_obj = ins["new_obj"]                        # (B, K, O, 3)
 
-    # concat scan + object per sample
-    cat_pts = jnp.concatenate([points[:, :, :3], new_obj], axis=1)  # (B,P+O,3)
+    # concat scan + all inserted objects per sample
+    ko = k_objs * o
+    obj_pts = new_obj.reshape(b, ko, 3)
+    obj_pt_valid = (ovalid & inserted[:, :, None]).reshape(b, ko)
+    obj_pt_label = jnp.broadcast_to(
+        obj_label[:, :, None].astype(jnp.int32), (b, k_objs, o)).reshape(b, ko)
+    any_inserted = jnp.any(inserted, axis=1)        # (B,)
+    cat_pts = jnp.concatenate([points[:, :, :3], obj_pts], axis=1)  # (B,P+KO,3)
     obj_mask = jnp.concatenate(
-        [jnp.zeros((b, p), bool), ovalid & inserted[:, None]], axis=1)
+        [jnp.zeros((b, p), bool), obj_pt_valid], axis=1)
     cat_valid = jnp.concatenate(
-        [pvalid & inserted[:, None], ovalid & inserted[:, None]], axis=1)
+        [pvalid & any_inserted[:, None], obj_pt_valid], axis=1)
     cat_label = jnp.concatenate(
-        [jnp.where(inserted[:, None], scan_label, -100),
-         jnp.where((ovalid & inserted[:, None]),
-                   obj_label[:, None].astype(jnp.int32), -100)], axis=1)
+        [jnp.where(any_inserted[:, None], scan_label, -100),
+         jnp.where(obj_pt_valid, obj_pt_label, -100)], axis=1)
 
     # occlusion-consistent removal (use_proj)
     if pc_mm.use_proj:
@@ -321,7 +416,7 @@ def vgi_insert_batch(cfg, batch_trg: Dict, pl_3d, rng) -> Dict:
     rf = (jnp.min(coords, axis=-1) >= 0) & (jnp.max(coords, axis=-1) < full_scale)
     cat_valid = cat_valid & rf
 
-    n = p + o
+    n = p + ko
     batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32)[:, None], n, axis=1)
     return {
         "coords": coords.reshape(b * n, 3),

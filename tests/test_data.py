@@ -131,7 +131,7 @@ def test_collate_padded_shapes_and_masks():
     assert batch["point_valid"].shape == (b, p)
     assert batch["seg_label"].shape == (b * p,)
     assert batch["sam_mask"].shape == (b, 48, 64)
-    assert batch["obj_pc"].shape == (b, 256, 4)
+    assert batch["obj_pc"].shape == (b, 1, 256, 4)
     assert batch["proj_matrix"].shape == (b, 3, 4)
     assert batch["ema_map"].shape == (b, p)
     # padding labels are ignore

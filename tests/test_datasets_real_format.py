@@ -102,7 +102,7 @@ def test_semantic_kitti_scn_full_pipeline(tmp_path):
     batch = collate_padded([ds[0], ds[1]], point_budget=512, obj_budget=64,
                            mask_budget=12)
     assert batch["coords"].shape == (2 * 512, 3)
-    assert batch["obj_pc"].shape == (2, 64, 4)
+    assert batch["obj_pc"].shape == (2, 1, 64, 4)
     assert batch["g_mask"].shape == (2, 512)
 
 

@@ -180,3 +180,101 @@ def test_vgi_online_ground_fallback():
         batch, jax.random.PRNGKey(0))
     inserted = np.asarray(out["inserted"])
     assert inserted.any(), "online ground fallback produced no insertions"
+
+
+def test_vgi_multi_object_insertion_no_overlap():
+    """multi_objs: >=2 objects inserted in one scan, pairwise non-overlapping
+    (reference point_mixmatch iterates obj_pc_ls, mixmatch_ss.py:110-212)."""
+    rng = np.random.default_rng(7)
+    n = 4000
+    gx = rng.uniform(2, 45, n)
+    gy = gx * rng.uniform(-0.45, 0.45, n)
+    pts = np.stack([gx, gy, np.full(n, -1.7)], 1).astype(np.float32)
+    pts4 = np.concatenate([pts, np.ones((n, 1), np.float32)], 1)
+    k, m = 3, 150
+    objs = []
+    for i in range(k):
+        sz = 0.4 + 0.4 * i  # distinct extents -> unambiguous anchor order
+        o = np.stack([rng.uniform(4, 4 + sz, m), rng.uniform(-sz, sz, m),
+                      rng.uniform(-1.7, -0.6, m)], 1)
+        objs.append(np.concatenate([o, np.ones((m, 1))], 1))
+    objs = np.stack(objs).astype(np.float32)
+    proj = np.array([[300, 0, 240, 0], [0, 300, 150, 0], [0, 0, 1, 0]],
+                    np.float32) @ np.array(
+        [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]], np.float32)
+
+    out = jax.jit(lambda kk: mixmatch.vgi_insert_sample(
+        jnp.asarray(pts4), jnp.ones(n, bool),
+        jnp.full(n, -100, jnp.int32), jnp.ones(n, bool),
+        jnp.asarray(objs), jnp.ones((k, m), bool),
+        jnp.asarray([1, 2, 3], jnp.int32), jnp.asarray(proj),
+        jnp.asarray(np.array([480, 302], np.int32)), kk,
+        voxel_size=0.5, search_range=(25.0, 25.0), z_min=-2.0,
+        front_axis_x=True))(jax.random.PRNGKey(5))
+
+    inserted = np.asarray(out["inserted"])
+    new_obj = np.asarray(out["new_obj"])
+    assert inserted.sum() >= 2, inserted
+    # pairwise xy separation: circumscribed-extent disks must not intersect
+    ins = np.where(inserted)[0]
+    centers = [(new_obj[i].max(0)[:2] + new_obj[i].min(0)[:2]) / 2 for i in ins]
+    radii = [np.linalg.norm(new_obj[i].max(0)[:2] - new_obj[i].min(0)[:2]) / 2
+             for i in ins]
+    for a in range(len(ins)):
+        for bb in range(a + 1, len(ins)):
+            d = np.linalg.norm(centers[a] - centers[bb])
+            assert d > radii[a] + radii[bb] - 0.5, (d, radii[a], radii[bb])
+    # every inserted object keeps its rigid shape (pairwise distances; the
+    # cylinder move z-rotates the object, so bbox extents are NOT invariant)
+    for i in ins:
+        d_old = np.linalg.norm(objs[i][:50, :3] - objs[i][50:100, :3], axis=1)
+        d_new = np.linalg.norm(new_obj[i][:50] - new_obj[i][50:100], axis=1)
+        np.testing.assert_allclose(d_old, d_new, rtol=1e-3, atol=1e-3)
+
+
+def test_vgi_batch_multi_object_layout():
+    """vgi_insert_batch consumes the (B, K, O, 4) collate layout and labels
+    each object's points with its own class."""
+    from mopa_tpu.config.xmuda import cfg
+
+    c = cfg.clone()
+    c.DATASET_TARGET.TYPE = "SyntheticSCN"
+    rng = np.random.default_rng(9)
+    b, k, o, p = 2, 2, 64, 1500
+    gx = rng.uniform(2, 40, (b, p))
+    gy = gx * rng.uniform(-0.45, 0.45, (b, p))
+    pts = np.stack([gx, gy, np.full((b, p), -1.7),
+                    np.ones((b, p))], -1).astype(np.float32)
+    obj = np.concatenate([
+        np.stack([rng.uniform(4, 5, (b, k, o)),
+                  rng.uniform(-0.5, 0.5, (b, k, o)),
+                  rng.uniform(-1.7, -0.8, (b, k, o))], -1),
+        np.ones((b, k, o, 1))], -1).astype(np.float32)
+    proj = np.array([[300, 0, 240, 0], [0, 300, 150, 0], [0, 0, 1, 0]],
+                    np.float32) @ np.array(
+        [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]], np.float32)
+    batch = {
+        "ori_points": jnp.asarray(pts),
+        "ori_points_valid": jnp.ones((b, p), bool),
+        "g_mask": jnp.ones((b, p), bool),
+        "obj_pc": jnp.asarray(obj),
+        "obj_valid": jnp.ones((b, k, o), bool),
+        "obj_label": jnp.asarray(np.tile([2, 3], (b, 1)), jnp.int32),
+        "proj_matrix": jnp.asarray(np.tile(proj[:3, :4], (b, 1, 1))),
+        "img_size": jnp.asarray(np.tile([480, 302], (b, 1)).astype(np.int32)),
+    }
+    out = jax.jit(lambda bt, kk: mixmatch.vgi_insert_batch(c, bt, None, kk))(
+        batch, jax.random.PRNGKey(1))
+    assert out["coords"].shape == (b * (p + k * o), 3)
+    lab = np.asarray(out["label"]).reshape(b, p + k * o)
+    om = np.asarray(out["obj_mask"]).reshape(b, p + k * o)
+    val = np.asarray(out["valid"]).reshape(b, p + k * o)
+    ins = np.asarray(out["inserted"])
+    assert ins.any()
+    # object points carry their own class labels
+    sel0 = om[:, p:p + o] & val[:, p:p + o]
+    sel1 = om[:, p + o:] & val[:, p + o:]
+    if sel0.any():
+        assert set(np.unique(lab[:, p:p + o][sel0])) <= {2}
+    if sel1.any():
+        assert set(np.unique(lab[:, p + o:][sel1])) <= {3}
