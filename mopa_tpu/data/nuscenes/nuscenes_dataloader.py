@@ -273,6 +273,9 @@ class NuScenesSCN(NuScenesBase):
             out_dict["ori_pseudo_label_3d"] = ps_label_3d
 
         if self.output_orig:
+            # metric sensor-frame points aligned with predictions
+            # (eval-time KNN range projection, VAL.use_knn)
+            out_dict["points_xyz"] = points[idxs].astype(np.float32)
             out_dict["orig_seg_label"] = seg_label
             out_dict["orig_points_idx"] = idxs
 

@@ -408,6 +408,9 @@ class SemanticKITTISCN(SemanticKITTIBase):
 
         if self.output_orig:
             out_dict.update({
+                # metric sensor-frame points aligned with predictions
+                # (eval-time KNN range projection, VAL.use_knn)
+                "points_xyz": points[idxs].astype(np.float32),
                 "orig_seg_label": seg_label,
                 "orig_points_idx": idxs,
                 "ori_keep_idx": data_dict["ori_keep_idx"],

@@ -64,6 +64,21 @@ def validate(cfg, state, models, dataloader, val_metric_logger, logger,
         val_metric_logger.remove(name)
 
     eval_step = make_eval_step(cfg, models)
+
+    # range-image KNN post-processing of 3D predictions (VAL.use_knn,
+    # reference validate.py:46-50,98-109)
+    use_knn = bool(cfg.VAL.use_knn)
+    knn_prob = bool(cfg.VAL.knn_prob)
+    if use_knn:
+        from mopa_tpu.ops import knn as knn_ops
+
+        pc = cfg.TRAIN.PC_MM
+        knn_step = jax.jit(jax.vmap(functools.partial(
+            knn_ops.knn_postprocess_scan,
+            nclasses=cfg.MODEL_3D.NUM_CLASSES, fov_up=pc.fov_up,
+            fov_down=pc.fov_down, proj_w=pc.proj_W, proj_h=pc.proj_H,
+            k=cfg.TRAIN.XMUDA.knn_k, output_prob=knn_prob)))
+
     end = time.time()
     for iteration, batch in enumerate(dataloader):
         data_time = time.time() - end
@@ -78,6 +93,18 @@ def validate(cfg, state, models, dataloader, val_metric_logger, logger,
         probs_3d = probs_3d.reshape(b, p, -1)
         pred_2d = probs_2d.argmax(-1)
         pred_3d = probs_3d.argmax(-1)
+        if use_knn and "points_xyz" in dev_batch:
+            pv = dev_batch["point_valid"]
+            if knn_prob:
+                summed = np.asarray(knn_step(dev_batch["points_xyz"], pv,
+                                             jnp.asarray(probs_3d)))
+                probs_3d = summed / np.maximum(
+                    summed.sum(-1, keepdims=True), 1e-12)
+                pred_3d = probs_3d.argmax(-1)
+            else:
+                pred_3d = np.asarray(knn_step(
+                    dev_batch["points_xyz"], pv,
+                    jnp.asarray(pred_3d.astype(np.int32))))
         pred_xm = (probs_2d + probs_3d).argmax(-1)
         if entropy_fuse:
             e2 = np.exp(-np.asarray(

@@ -30,7 +30,7 @@ def gaussian_kernel_2d(size: int, sigma: float) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("nclasses", "search", "k",
-                                             "output_prob"))
+                                             "sigma", "output_prob"))
 def knn_postprocess(proj_range, unproj_range, proj_values, px, py, valid,
                     *, nclasses: int, search: int = 5, k: int = 5,
                     sigma: float = 1.0, cutoff: float = 1.0,
@@ -100,6 +100,33 @@ def knn_postprocess(proj_range, unproj_range, proj_values, px, py, valid,
     knn_p = jnp.where((knn_dist > cutoff)[:, :, None], 0.0, knn_p)
     out = knn_p.sum(axis=1)
     return jnp.where(valid[:, None], out, 0.0)
+
+
+def knn_postprocess_scan(points, valid, values, *, nclasses: int,
+                         fov_up: float, fov_down: float, proj_w: int,
+                         proj_h: int, k: int = 5, search: int = 5,
+                         sigma: float = 1.0, cutoff: float = 1.0,
+                         output_prob: bool = False):
+    """Range-image KNN post-processing of one scan's per-point predictions.
+
+    Eval-time path of the reference's ``post_knn`` consumption
+    (``mopa/data/utils/validate.py:46-50,98-109``): rasterise the scan into a
+    range image carrying ``values`` (int labels, or (P, C) probabilities when
+    ``output_prob``), then re-predict every point from its k nearest
+    range-image neighbours.
+
+    Args:
+        points: (P, >=3) metric sensor-frame points.
+        valid: (P,) bool.
+        values: (P,) int predictions or (P, C) probabilities.
+
+    Returns: (P,) voted labels, or (P, C) neighbour-summed probabilities.
+    """
+    img_range, img_vals, px, py, depth = build_range_image(
+        points[:, :3], fov_up, fov_down, proj_w, proj_h, values, valid)
+    return knn_postprocess(img_range, depth, img_vals, px, py, valid,
+                           nclasses=nclasses, search=search, k=k, sigma=sigma,
+                           cutoff=cutoff, output_prob=output_prob)
 
 
 def build_range_image(points, fov_up, fov_down, proj_w, proj_h, values,
