@@ -235,3 +235,182 @@ def test_pretrained_flag_loads_encoder_weights(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-6)
     got_bn = np.asarray(state.batch_stats_2d["net_2d"]["bn1"]["mean"])
     np.testing.assert_allclose(got_bn, sd["bn1.running_mean"].numpy(), rtol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# 3D: scn.Sequential[InputLayer, SubmanifoldConv, UNet, BNReLU, OutputLayer]
+# --------------------------------------------------------------------------- #
+
+class SCNConv(tnn.Module):
+    """Parameter-registration surrogate of scn's convolutions: one ``weight``
+    of shape (kernel_volume, nIn, nOut)."""
+
+    def __init__(self, kv, cin, cout):
+        super().__init__()
+        self.weight = tnn.Parameter(torch.randn(kv, cin, cout) * 0.2)
+
+
+def _scn_bn(c):
+    bn = tnn.BatchNorm1d(c)
+    bn.running_mean.data.normal_(0, 0.1)
+    bn.running_var.data.uniform_(0.5, 1.5)
+    bn.weight.data.normal_(1.0, 0.1)
+    bn.bias.data.normal_(0, 0.1)
+    return bn
+
+
+def _build_scn_unet(planes):
+    """scn.UNet(reps=1, VGG blocks) module tree with scn's exact child
+    indices: [block, ConcatTable[Identity, Sequential[BN, Conv, U, BN,
+    Deconv]], JoinTable, fuse-block] (SparseConvNet sparseconvnet/networks.py
+    UNet / reference mopa/models/scn_unet.py:25-30)."""
+    m = tnn.Sequential()
+    p = planes[0]
+    m.add_module("0", tnn.Sequential(_scn_bn(p), SCNConv(27, p, p)))
+    if len(planes) > 1:
+        q = planes[1]
+        inner = tnn.Sequential(
+            _scn_bn(p), SCNConv(8, p, q), _build_scn_unet(planes[1:]),
+            _scn_bn(q), SCNConv(8, q, p))
+        concat_table = tnn.Sequential()
+        concat_table.add_module("0", tnn.Identity())
+        concat_table.add_module("1", inner)
+        m.add_module("1", concat_table)
+        m.add_module("2", tnn.Identity())           # JoinTable (paramless)
+        m.add_module("3", tnn.Sequential(_scn_bn(2 * p), SCNConv(27, 2 * p, p)))
+    return m
+
+
+class TUNetSCN(tnn.Module):
+    def __init__(self, m, planes):
+        super().__init__()
+        self.sparseModel = tnn.Sequential()
+        self.sparseModel.add_module("0", tnn.Identity())   # InputLayer
+        self.sparseModel.add_module("1", SCNConv(27, 1, m))
+        self.sparseModel.add_module("2", _build_scn_unet(planes))
+        self.sparseModel.add_module("3", _scn_bn(m))       # BatchNormReLU
+        self.sparseModel.add_module("4", tnn.Identity())   # OutputLayer
+
+
+class TNet3DSeg(tnn.Module):
+    def __init__(self, m, planes, num_classes):
+        super().__init__()
+        self.net_3d = TUNetSCN(m, planes)
+        self.linear = tnn.Linear(m, num_classes)
+        self.linear2 = tnn.Linear(m, num_classes)
+
+
+def _np_bn(x, sd, pre):
+    w, b = sd[pre + ".weight"], sd[pre + ".bias"]
+    rm, rv = sd[pre + ".running_mean"], sd[pre + ".running_var"]
+    return {k: np.maximum((v - rm) / np.sqrt(rv + 1e-4) * w + b, 0.0)
+            for k, v in x.items()}
+
+
+def _np_subconv(x, w, sites, offs27):
+    out = {}
+    for s in sites:
+        acc = np.zeros(w.shape[-1], np.float32)
+        for k in range(27):
+            q = (s[0] + offs27[k][0], s[1] + offs27[k][1], s[2] + offs27[k][2])
+            if q in x:
+                acc = acc + x[q] @ w[k]
+        out[s] = acc
+    return out
+
+
+def _np_unet(x, sites, planes, sd, prefix, offs27, offs8):
+    x = _np_bn(x, sd, prefix + ".0.0")
+    x = _np_subconv(x, sd[prefix + ".0.1.weight"], sites, offs27)
+    if len(planes) > 1:
+        skip = x
+        y = _np_bn(x, sd, prefix + ".1.1.0")
+        csites = sorted(set((s[0] // 2, s[1] // 2, s[2] // 2) for s in sites))
+        w_down = sd[prefix + ".1.1.1.weight"]
+        y2 = {}
+        for c in csites:
+            acc = np.zeros(w_down.shape[-1], np.float32)
+            for oi, off in enumerate(offs8):
+                f = (2 * c[0] + off[0], 2 * c[1] + off[1], 2 * c[2] + off[2])
+                if f in y:
+                    acc = acc + y[f] @ w_down[oi]
+            y2[c] = acc
+        y2 = _np_unet(y2, csites, planes[1:], sd, prefix + ".1.1.2",
+                      offs27, offs8)
+        y2 = _np_bn(y2, sd, prefix + ".1.1.3")
+        w_up = sd[prefix + ".1.1.4.weight"]
+        up = {s: y2[(s[0] // 2, s[1] // 2, s[2] // 2)]
+              @ w_up[(s[0] % 2) * 4 + (s[1] % 2) * 2 + (s[2] % 2)]
+              for s in sites}
+        x = {s: np.concatenate([skip[s], up[s]]) for s in sites}
+        x = _np_bn(x, sd, prefix + ".3.0")
+        x = _np_subconv(x, sd[prefix + ".3.1.weight"], sites, offs27)
+    return x
+
+
+def test_3d_checkpoint_import_output_parity():
+    """import_reference_3d's depth-first walk of the scn state_dict maps every
+    tensor onto the layer at the same graph position: outputs of the imported
+    flax Net3DSeg match an independent numpy evaluation of the scn graph
+    driven directly by the torch state_dict (eval mode)."""
+    from mopa_tpu.models.torch_compat import import_reference_3d
+    from mopa_tpu.models.xmuda_arch import Net3DSeg
+    from mopa_tpu.models.scn_unet import build_unet_plan
+    from mopa_tpu.ops.sparse_conv import kernel_offsets
+
+    torch.manual_seed(3)
+    m, num_planes, ncls = 2, 3, 4
+    planes = [(i + 1) * m for i in range(num_planes)]
+    tmodel = TNet3DSeg(m, planes, ncls)
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+
+    params_flat, stats_flat = import_reference_3d(sd, m=m,
+                                                  num_planes=num_planes)
+    # every conv/BN of the graph must be covered by the import
+    n_bn = 4 * (num_planes - 1) + 2  # per level: bn1,bn_down,bn_up,bn2; +final
+    n_conv = 4 * (num_planes - 1) + 2  # conv1,down,up,conv2; stem + top conv1
+    assert len(stats_flat) == 2 * n_bn, sorted(stats_flat)
+    n_conv_params = sum(1 for k in params_flat
+                        if k.startswith("net_3d.") and k.endswith(("stem",))
+                        or (k.startswith("net_3d.l") and "bn" not in k))
+    assert n_conv_params == n_conv, sorted(params_flat)
+
+    rng = np.random.default_rng(5)
+    scale = 8
+    coords = np.unique(rng.integers(0, scale, size=(80, 3)).astype(np.int32),
+                       axis=0)
+    n = coords.shape[0]
+    feats = rng.normal(size=(n, 1)).astype(np.float32)
+    batch_idx = np.zeros(n, np.int32)
+    valid = np.ones(n, bool)
+
+    model = Net3DSeg(num_classes=ncls, dual_head=True, m=m,
+                     num_planes=num_planes, full_scale=scale)
+    plan = jax.jit(lambda: build_unet_plan(
+        jnp.asarray(coords), jnp.asarray(batch_idx), jnp.asarray(valid),
+        num_levels=num_planes))()
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats), plan,
+                           train=False)
+    params = unflatten_into(variables["params"], params_flat)
+    batch_stats = unflatten_into(variables["batch_stats"], stats_flat)
+    preds = model.apply({"params": params, "batch_stats": batch_stats},
+                        jnp.asarray(feats), plan, train=False)
+
+    # independent numpy evaluation of the scn graph
+    offs27 = [tuple(o) for o in kernel_offsets(3)]
+    offs8 = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    sites = [tuple(c) for c in coords]
+    x = {tuple(c): f for c, f in zip(coords, feats)}
+    x = _np_subconv(x, sd["net_3d.sparseModel.1.weight"], sites, offs27)
+    x = _np_unet(x, sites, planes, sd, "net_3d.sparseModel.2", offs27, offs8)
+    x = _np_bn(x, sd, "net_3d.sparseModel.3")
+    feat_ref = np.stack([x[tuple(c)] for c in coords])
+    logit_ref = feat_ref @ sd["linear.weight"].T + sd["linear.bias"]
+    logit2_ref = feat_ref @ sd["linear2.weight"].T + sd["linear2.bias"]
+
+    np.testing.assert_allclose(np.asarray(preds["feats"]), feat_ref,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(preds["seg_logit"]), logit_ref,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(preds["seg_logit2"]), logit2_ref,
+                               rtol=1e-3, atol=1e-3)
