@@ -146,19 +146,26 @@ class ImageEncoderViT(nn.Module):
 
 
 class PromptEncoder(nn.Module):
-    """Point prompts -> sparse embeddings; random-fourier positional encoding."""
+    """Point prompts -> sparse embeddings; random-fourier positional encoding.
+
+    Weight-compatible with segment-anything's ``PromptEncoder`` point path
+    (``prompt_encoder.py``): pixel coords are shifted by +0.5 (pixel centers),
+    a padding point with label -1 is appended by the caller when no box prompt
+    exists, and labels map -1 -> not_a_point (PE zeroed), 0 -> negative,
+    1 -> positive. ``no_mask_embed`` provides the dense embedding the decoder
+    adds to the image features when no mask prompt is given."""
 
     embed_dim: int = 256
 
     @nn.compact
     def __call__(self, points, labels, image_size):
-        """points (B, N, 2) in pixel coords; labels (B, N) 1=fg, 0=bg.
+        """points (B, N, 2) in pixel coords; labels (B, N) 1=fg, 0=bg,
+        -1=padding.
 
-        Returns (sparse_embeddings, pe_gaussian) — the gaussian matrix is
-        reused by the caller for the dense grid encoding."""
+        Returns (sparse_embeddings, pe_gaussian, no_mask_embed)."""
         pe_gaussian = self.param("pe_gaussian", nn.initializers.normal(1.0),
                                  (2, self.embed_dim // 2))
-        coords = points / jnp.asarray(image_size, jnp.float32)
+        coords = (points + 0.5) / jnp.asarray(image_size, jnp.float32)
         coords = 2 * coords - 1
         proj = coords @ pe_gaussian * (2 * np.pi)
         pe = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
@@ -166,8 +173,16 @@ class PromptEncoder(nn.Module):
                         (self.embed_dim,))
         bg = self.param("bg_embed", nn.initializers.normal(1.0),
                         (self.embed_dim,))
-        type_emb = jnp.where(labels[..., None] > 0, fg, bg)
-        return pe + type_emb, pe_gaussian
+        not_a_point = self.param("not_a_point_embed",
+                                 nn.initializers.normal(1.0),
+                                 (self.embed_dim,))
+        no_mask = self.param("no_mask_embed", nn.initializers.normal(1.0),
+                             (self.embed_dim,))
+        lab = labels[..., None]
+        pe = jnp.where(lab == -1, 0.0, pe)
+        type_emb = jnp.where(lab == -1, not_a_point,
+                             jnp.where(lab > 0, fg, bg))
+        return pe + type_emb, pe_gaussian, no_mask
 
 
 def dense_positional_encoding(pe_gaussian, grid_hw):
@@ -181,46 +196,105 @@ def dense_positional_encoding(pe_gaussian, grid_hw):
     return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
 
-class TwoWayBlock(nn.Module):
+class DecoderAttention(nn.Module):
+    """segment-anything ``transformer.Attention``: q/k/v projections to
+    dim / downsample_rate, multi-head attention, out projection back."""
+
     dim: int = 256
     heads: int = 8
+    downsample_rate: int = 1
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        d = self.dim // self.downsample_rate
+        qh = nn.Dense(d, name="q_proj")(q)
+        kh = nn.Dense(d, name="k_proj")(k)
+        vh = nn.Dense(d, name="v_proj")(v)
+        hd = d // self.heads
+
+        def sp(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads, hd
+                             ).transpose(0, 2, 1, 3)
+
+        a = jnp.einsum("bhqd,bhkd->bhqk", sp(qh), sp(kh)) / np.sqrt(hd)
+        a = jax.nn.softmax(a, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, sp(vh))
+        o = o.transpose(0, 2, 1, 3).reshape(q.shape[0], q.shape[1], d)
+        return nn.Dense(self.dim, name="out_proj")(o)
+
+
+class TwoWayBlock(nn.Module):
+    """segment-anything ``TwoWayAttentionBlock``: token self-attention,
+    token->image cross-attention, ReLU MLP, image->token cross-attention
+    (``transformer.py``). The first transformer layer skips the positional
+    encoding in its self-attention and takes the attention output directly
+    (no residual)."""
+
+    dim: int = 256
+    heads: int = 8
+    mlp_dim: int = 2048
+    skip_first_layer_pe: bool = False
 
     @nn.compact
     def __call__(self, queries, keys, qpe, kpe):
-        def attn(name, q, k, v, down=1):
-            d = self.dim // down
-            qh = nn.Dense(d, name=name + "_q")(q)
-            kh = nn.Dense(d, name=name + "_k")(k)
-            vh = nn.Dense(d, name=name + "_v")(v)
-            hd = d // self.heads
+        if self.skip_first_layer_pe:
+            queries = DecoderAttention(self.dim, self.heads,
+                                       name="self_attn")(queries, queries,
+                                                         queries)
+        else:
+            q = queries + qpe
+            queries = queries + DecoderAttention(
+                self.dim, self.heads, name="self_attn")(q, q, queries)
+        queries = nn.LayerNorm(name="norm1")(queries)
 
-            def sp(t):
-                return t.reshape(t.shape[0], t.shape[1], self.heads, hd
-                                 ).transpose(0, 2, 1, 3)
+        q = queries + qpe
+        k = keys + kpe
+        queries = queries + DecoderAttention(
+            self.dim, self.heads, downsample_rate=2,
+            name="cross_attn_token_to_image")(q, k, keys)
+        queries = nn.LayerNorm(name="norm2")(queries)
 
-            a = jnp.einsum("bhqd,bhkd->bhqk", sp(qh), sp(kh)) / np.sqrt(hd)
-            a = jax.nn.softmax(a, axis=-1)
-            o = jnp.einsum("bhqk,bhkd->bhqd", a, sp(vh))
-            o = o.transpose(0, 2, 1, 3).reshape(q.shape[0], q.shape[1], d)
-            return nn.Dense(self.dim, name=name + "_out")(o)
+        h = nn.Dense(self.mlp_dim, name="mlp.lin1")(queries)
+        h = nn.relu(h)
+        queries = queries + nn.Dense(self.dim, name="mlp.lin2")(h)
+        queries = nn.LayerNorm(name="norm3")(queries)
 
-        q = queries + attn("self_attn", queries + qpe, queries + qpe, queries)
-        q = nn.LayerNorm(name="norm1")(q)
-        q = q + attn("cross_t2i", q + qpe, keys + kpe, keys, down=2)
-        q = nn.LayerNorm(name="norm2")(q)
-        q = q + MLPBlock(self.dim, 8.0, name="mlp")(q)
-        q = nn.LayerNorm(name="norm3")(q)
-        k = keys + attn("cross_i2t", keys + kpe, q + qpe, q, down=2)
-        k = nn.LayerNorm(name="norm4")(k)
-        return q, k
+        q = queries + qpe
+        k = keys + kpe
+        keys = keys + DecoderAttention(
+            self.dim, self.heads, downsample_rate=2,
+            name="cross_attn_image_to_token")(k, q, queries)
+        keys = nn.LayerNorm(name="norm4")(keys)
+        return queries, keys
+
+
+class HyperMLP(nn.Module):
+    """3-layer MLP (ReLU between layers, none after the last) — the mask
+    hypernetworks and the IoU head of segment-anything's ``MaskDecoder``."""
+
+    hidden: int
+    out: int
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.depth - 1):
+            x = nn.relu(nn.Dense(self.hidden, name=f"layers.{i}")(x))
+        return nn.Dense(self.out, name=f"layers.{self.depth - 1}")(x)
 
 
 class MaskDecoder(nn.Module):
+    """segment-anything ``MaskDecoder`` (``mask_decoder.py``): two-way
+    transformer (2 layers + final token-to-image attention), 4x output
+    upscaler, per-mask-token 3-layer hypernetwork MLPs, 3-layer IoU head."""
+
     dim: int = 256
-    num_mask_tokens: int = 4  # iou token handled separately
+    num_mask_tokens: int = 4  # num_multimask_outputs(3) + 1
+    iou_head_hidden: int = 256
+    mlp_dim: int = 2048
 
     @nn.compact
-    def __call__(self, img_embed, img_pe, sparse_prompt):
+    def __call__(self, img_embed, img_pe, sparse_prompt, dense_prompt=None):
         b = img_embed.shape[0]
         h, w = img_embed.shape[1:3]
         iou_token = self.param("iou_token", nn.initializers.normal(1.0),
@@ -231,19 +305,25 @@ class MaskDecoder(nn.Module):
         tokens = jnp.broadcast_to(tokens[None], (b,) + tokens.shape)
         tokens = jnp.concatenate([tokens, sparse_prompt], axis=1)
 
-        keys = img_embed.reshape(b, h * w, self.dim)
-        kpe = img_pe.reshape(1, h * w, self.dim)
-        kpe = jnp.broadcast_to(kpe, keys.shape)
+        src = img_embed
+        if dense_prompt is not None:
+            src = src + dense_prompt
+        keys = src.reshape(b, h * w, self.dim)
+        kpe = jnp.broadcast_to(img_pe.reshape(1, h * w, self.dim), keys.shape)
+
         q, k = tokens, keys
         for i in range(2):
-            q, k = TwoWayBlock(self.dim, name=f"block{i}")(q, k, tokens, kpe)
-        # final token-to-image attention
-        blk = TwoWayBlock(self.dim, name="final_attn")
-        # reuse a light cross-attention: one more block's cross path
-        q, _ = blk(q, k, tokens, kpe)
+            q, k = TwoWayBlock(self.dim, mlp_dim=self.mlp_dim,
+                               skip_first_layer_pe=(i == 0),
+                               name=f"layers.{i}")(q, k, tokens, kpe)
+        # final attention of tokens onto the image + layer norm
+        q = q + DecoderAttention(self.dim, downsample_rate=2,
+                                 name="final_attn_token_to_image")(
+            q + tokens, k + kpe, k)
+        q = nn.LayerNorm(name="norm_final_attn")(q)
 
         src = k.reshape(b, h, w, self.dim)
-        # upscale 4x with two transpose convs
+        # output_upscaling: tconv -> LayerNorm2d -> GELU -> tconv -> GELU
         up = nn.ConvTranspose(self.dim // 4, (2, 2), strides=(2, 2),
                               name="up1")(src)
         up = nn.LayerNorm(name="up_ln")(up)
@@ -252,10 +332,14 @@ class MaskDecoder(nn.Module):
                               name="up2")(up)
         up = nn.gelu(up, approximate=False)
 
-        mask_q = q[:, 1:1 + self.num_mask_tokens]  # (B, M, dim)
-        hyper = nn.Dense(self.dim // 8, name="hyper")(mask_q)  # (B, M, d/8)
+        # per-token hypernetwork MLPs: dim -> dim -> dim -> dim/8
+        hyper = jnp.stack([
+            HyperMLP(self.dim, self.dim // 8, name=f"hyper_mlps.{i}")(
+                q[:, 1 + i])
+            for i in range(self.num_mask_tokens)], axis=1)  # (B, M, d/8)
         masks = jnp.einsum("bmd,bhwd->bmhw", hyper, up)
-        iou_pred = nn.Dense(self.num_mask_tokens, name="iou_head")(q[:, 0])
+        iou_pred = HyperMLP(self.iou_head_hidden, self.num_mask_tokens,
+                            name="iou_head")(q[:, 0])
         return masks, iou_pred
 
 
@@ -273,10 +357,15 @@ class SAM(nn.Module):
 
     def decode(self, img_embed, points, labels):
         h, w = img_embed.shape[1:3]
-        sparse, pe_gaussian = self.prompt_encoder(
+        b = points.shape[0]
+        # point-only prompts get a padding point (label -1), exactly like
+        # segment-anything's _embed_points with pad=True (no box prompt)
+        points = jnp.concatenate([points, jnp.zeros((b, 1, 2))], axis=1)
+        labels = jnp.concatenate([labels, -jnp.ones((b, 1))], axis=1)
+        sparse, pe_gaussian, no_mask = self.prompt_encoder(
             points, labels, (self.img_size, self.img_size))
         pe = dense_positional_encoding(pe_gaussian, (h, w))
-        masks, iou = self.mask_decoder(img_embed, pe[None], sparse)
+        masks, iou = self.mask_decoder(img_embed, pe[None], sparse, no_mask)
         return masks, iou
 
     def __call__(self, image, points, labels):
@@ -284,16 +373,24 @@ class SAM(nn.Module):
         return self.decode(emb, points, labels)
 
 
-def import_sam_checkpoint(state_dict, variant="vit_h"):
+def import_sam_checkpoint(state_dict, variant="vit_h",
+                          parts=("image_encoder", "prompt_encoder",
+                                 "mask_decoder")):
     """Map a segment-anything ``.pth`` state_dict onto this flax SAM's names.
 
     Returns a flat ``name -> numpy array`` dict for
     ``mopa_tpu.models.torch_compat.unflatten_into`` against ``SAM.init``
-    variables["params"]. Best-effort: covers the image encoder, prompt
-    encoder point embeddings and the mask decoder heads; validated only
-    structurally in this environment (no SAM weights on disk, no egress).
+    variables["params"]. Covers the image encoder, the prompt encoder's point
+    path (point embeddings, not_a_point, no_mask) and the FULL mask decoder
+    (two-way transformer, final token-to-image attention, output upscaler,
+    per-token hypernetwork MLPs, IoU head). Only the box-corner point
+    embeddings (2, 3) and the mask-prompt downscaler are skipped — box and
+    mask prompts are outside MoPA's consumption chain
+    (``mopa/data/sam_refine.py:127-248`` uses point grids only).
     """
     import numpy as np
+
+    from mopa_tpu.models.torch_compat import _t_tconv
 
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     out = {}
@@ -301,6 +398,11 @@ def import_sam_checkpoint(state_dict, variant="vit_h"):
     def conv(src, dst, bias=True):
         out[dst + ".kernel"] = np.transpose(sd[src + ".weight"], (2, 3, 1, 0))
         if bias and src + ".bias" in sd:
+            out[dst + ".bias"] = sd[src + ".bias"]
+
+    def tconv(src, dst):
+        out[dst + ".kernel"] = _t_tconv(sd[src + ".weight"])
+        if src + ".bias" in sd:
             out[dst + ".bias"] = sd[src + ".bias"]
 
     def dense(src, dst):
@@ -312,36 +414,80 @@ def import_sam_checkpoint(state_dict, variant="vit_h"):
         out[dst + ".scale"] = sd[src + ".weight"]
         out[dst + ".bias"] = sd[src + ".bias"]
 
-    enc = "image_encoder"
-    conv(enc + ".patch_embed.proj", "image_encoder.patch_embed")
-    out["image_encoder.pos_embed"] = sd[enc + ".pos_embed"]
-    depth = VARIANTS[variant]["depth"]
-    for i in range(depth):
-        s = "{}.blocks.{}".format(enc, i)
-        d = "image_encoder.block{}".format(i)
-        ln(s + ".norm1", d + ".norm1")
-        ln(s + ".norm2", d + ".norm2")
-        dense(s + ".attn.qkv", d + ".attn.qkv")
-        dense(s + ".attn.proj", d + ".attn.proj")
-        out[d + ".attn.rel_pos_h"] = sd[s + ".attn.rel_pos_h"]
-        out[d + ".attn.rel_pos_w"] = sd[s + ".attn.rel_pos_w"]
-        dense(s + ".mlp.lin1", d + ".mlp.lin1")
-        dense(s + ".mlp.lin2", d + ".mlp.lin2")
-    conv(enc + ".neck.0", "image_encoder.neck0", bias=False)
-    ln(enc + ".neck.1", "image_encoder.neck_ln0")
-    conv(enc + ".neck.2", "image_encoder.neck1", bias=False)
-    ln(enc + ".neck.3", "image_encoder.neck_ln1")
+    if "image_encoder" in parts:
+        enc = "image_encoder"
+        conv(enc + ".patch_embed.proj", "image_encoder.patch_embed")
+        out["image_encoder.pos_embed"] = sd[enc + ".pos_embed"]
+        depth = VARIANTS[variant]["depth"]
+        for i in range(depth):
+            s = "{}.blocks.{}".format(enc, i)
+            d = "image_encoder.block{}".format(i)
+            ln(s + ".norm1", d + ".norm1")
+            ln(s + ".norm2", d + ".norm2")
+            dense(s + ".attn.qkv", d + ".attn.qkv")
+            dense(s + ".attn.proj", d + ".attn.proj")
+            out[d + ".attn.rel_pos_h"] = sd[s + ".attn.rel_pos_h"]
+            out[d + ".attn.rel_pos_w"] = sd[s + ".attn.rel_pos_w"]
+            dense(s + ".mlp.lin1", d + ".mlp.lin1")
+            dense(s + ".mlp.lin2", d + ".mlp.lin2")
+        conv(enc + ".neck.0", "image_encoder.neck0", bias=False)
+        ln(enc + ".neck.1", "image_encoder.neck_ln0")
+        conv(enc + ".neck.2", "image_encoder.neck1", bias=False)
+        ln(enc + ".neck.3", "image_encoder.neck_ln1")
 
-    pe = "prompt_encoder"
-    out["prompt_encoder.pe_gaussian"] = \
-        sd[pe + ".pe_layer.positional_encoding_gaussian_matrix"]
-    # point_embeddings: 0 = negative, 1 = positive (segment-anything order)
-    out["prompt_encoder.bg_embed"] = sd[pe + ".point_embeddings.0.weight"][0]
-    out["prompt_encoder.fg_embed"] = sd[pe + ".point_embeddings.1.weight"][0]
+    if "prompt_encoder" in parts:
+        pe = "prompt_encoder"
+        out["prompt_encoder.pe_gaussian"] = \
+            sd[pe + ".pe_layer.positional_encoding_gaussian_matrix"]
+        # point_embeddings: 0 = negative, 1 = positive (segment-anything)
+        out["prompt_encoder.bg_embed"] = \
+            sd[pe + ".point_embeddings.0.weight"][0]
+        out["prompt_encoder.fg_embed"] = \
+            sd[pe + ".point_embeddings.1.weight"][0]
+        out["prompt_encoder.not_a_point_embed"] = \
+            sd[pe + ".not_a_point_embed.weight"][0]
+        out["prompt_encoder.no_mask_embed"] = \
+            sd[pe + ".no_mask_embed.weight"][0]
+
+    if "mask_decoder" not in parts:
+        return out
 
     md = "mask_decoder"
     out["mask_decoder.iou_token"] = sd[md + ".iou_token.weight"]
     out["mask_decoder.mask_tokens"] = sd[md + ".mask_tokens.weight"]
+
+    def decoder_attn(src, dst):
+        for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            dense("{}.{}".format(src, p), "{}.{}".format(dst, p))
+
+    tr = md + ".transformer"
+    for i in range(2):
+        s = "{}.layers.{}".format(tr, i)
+        d = "{}.layers.{}".format(md, i)
+        decoder_attn(s + ".self_attn", d + ".self_attn")
+        decoder_attn(s + ".cross_attn_token_to_image",
+                     d + ".cross_attn_token_to_image")
+        decoder_attn(s + ".cross_attn_image_to_token",
+                     d + ".cross_attn_image_to_token")
+        dense(s + ".mlp.lin1", d + ".mlp.lin1")
+        dense(s + ".mlp.lin2", d + ".mlp.lin2")
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            ln("{}.{}".format(s, n), "{}.{}".format(d, n))
+    decoder_attn(tr + ".final_attn_token_to_image",
+                 md + ".final_attn_token_to_image")
+    ln(tr + ".norm_final_attn", md + ".norm_final_attn")
+
+    tconv(md + ".output_upscaling.0", md + ".up1")
+    ln(md + ".output_upscaling.1", md + ".up_ln")
+    tconv(md + ".output_upscaling.3", md + ".up2")
+
+    for i in range(4):
+        for j in range(3):
+            dense("{}.output_hypernetworks_mlps.{}.layers.{}".format(md, i, j),
+                  "{}.hyper_mlps.{}.layers.{}".format(md, i, j))
+    for j in range(3):
+        dense("{}.iou_prediction_head.layers.{}".format(md, j),
+              "{}.iou_head.layers.{}".format(md, j))
     return out
 
 
