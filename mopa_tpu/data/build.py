@@ -4,16 +4,28 @@ Builds the dataset selected by ``DATASET_{SOURCE,TARGET}.TYPE``, strips
 augmentation for eval, gates the MoPA-only inputs (VGI objects / SAM masks /
 ground indices / EMA originals) to train+target, wraps training in an
 iteration-based resumable sampler and collates into padded numpy batches
-(static shapes for the jitted step). A thread pool overlaps per-sample
-loading with device compute — the torch DataLoader worker-process pool is
-replaced by threads because the heavy lifting (jit step) releases the GIL.
+(static shapes for the jitted step).
+
+Input pipeline: a producer thread loads + collates batches through a
+persistent worker pool into a bounded queue (depth ``PREFETCH``), so host
+data loading overlaps device compute (the jitted step releases the GIL) —
+the TPU-side replacement of the torch DataLoader worker-process pool.
+
+Multi-host: each process takes the ``jax.process_index()``-th slice of every
+sampled batch (``indices[pi::pc]``), so TRAIN.BATCH_SIZE is the GLOBAL batch
+and hosts read disjoint, deterministic index streams from the shared
+seeded sampler.
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+PREFETCH = 2
 
 from mopa_tpu.common.sampler import IterationBasedBatchSampler
 from mopa_tpu.data.a2d2.a2d2_dataloader import A2D2SCN
@@ -44,28 +56,81 @@ def point_budget_for(cfg, dataset_type):
 
 
 class DataLoader:
-    """Iterable over padded batches with threaded sample prefetch."""
+    """Iterable over padded batches with double-buffered prefetch and
+    multi-host batch sharding."""
 
     def __init__(self, dataset, batch_sampler, point_budget, mask_budget=64,
-                 num_workers=0):
+                 num_workers=0, prefetch=PREFETCH, process_index=None,
+                 process_count=None):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.point_budget = point_budget
         self.mask_budget = mask_budget
         self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
+        self.process_index = process_index
+        self.process_count = process_count
 
-    def _load_batch(self, indices):
-        if self.num_workers > 1:
-            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                samples = list(ex.map(self.dataset.__getitem__, indices))
+    def _host_slice(self, indices):
+        pi, pc = self.process_index, self.process_count
+        if pi is None or pc is None:
+            try:
+                import jax
+
+                pi = jax.process_index()
+                pc = jax.process_count()
+            except Exception:  # pragma: no cover - jax uninitialised
+                pi, pc = 0, 1
+        indices = np.asarray(indices)
+        return indices[pi::pc] if pc > 1 else indices
+
+    def _load_batch(self, indices, pool=None):
+        if pool is not None:
+            samples = list(pool.map(self.dataset.__getitem__, indices))
         else:
             samples = [self.dataset[i] for i in indices]
         return collate_padded(samples, self.point_budget,
                               mask_budget=self.mask_budget)
 
     def __iter__(self):
-        for indices in self.batch_sampler:
-            yield self._load_batch(indices)
+        if self.num_workers <= 0:
+            for indices in self.batch_sampler:
+                yield self._load_batch(self._host_slice(indices))
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for indices in self.batch_sampler:
+                    batch = self._load_batch(self._host_slice(indices), pool)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is sentinel:
+                    break
+                yield batch
+        finally:
+            stop.set()
 
     def __len__(self):
         return len(self.batch_sampler)
@@ -82,6 +147,8 @@ def build_dataloader(cfg, mode="train", domain="source", start_iteration=0,
         batch_size = batch_size // 2
 
     dataset_kwargs = dict(dataset_cfg.get(dataset_cfg.TYPE, {}))
+    # dataset input format follows the 3D backbone (reference build.py:64)
+    dataset_kwargs.setdefault("backbone", cfg.MODEL_3D.TYPE)
     aug = dict(dataset_kwargs.pop("augmentation", {}))
     if is_train:
         dataset_kwargs.update(aug)

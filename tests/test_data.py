@@ -176,3 +176,52 @@ def test_build_dataloader_resume_alignment():
                                 start_iteration=2)
     resumed = [b["num_points"].tolist() for b in l_resume]
     assert len(resumed) == 1
+
+
+def test_multi_host_batch_sharding_disjoint_streams():
+    """Fake 2 processes: each host takes a disjoint slice of every batch and
+    the union recovers the full batch (global TRAIN.BATCH_SIZE semantics)."""
+    from mopa_tpu.data.build import DataLoader
+    from mopa_tpu.data.synthetic import SyntheticSCN
+
+    ds = SyntheticSCN(length=8, n_points=300, image_size=(32, 32), seed=0)
+    sampler = [np.arange(4), np.arange(4, 8)]
+    loads = []
+    for pi in (0, 1):
+        dl = DataLoader(ds, sampler, point_budget=128, num_workers=0,
+                        process_index=pi, process_count=2)
+        loads.append([b for b in dl])
+    for b0, b1 in zip(*loads):
+        assert b0["img"].shape[0] == 2 and b1["img"].shape[0] == 2
+        # disjoint: per-scan point counts come from different samples
+        paths0 = b0["_meta"]["lidar_path"]
+        paths1 = b1["_meta"]["lidar_path"]
+        assert not set(paths0) & set(paths1)
+    all_paths = sorted(
+        p for ld in loads for b in ld for p in b["_meta"]["lidar_path"])
+    assert all_paths == sorted(
+        "synthetic/{:06d}.bin".format(i) for i in range(8))
+
+
+def test_prefetch_overlaps_and_preserves_order():
+    """Worker-pool prefetch yields the same batches in the same order as the
+    synchronous path."""
+    from mopa_tpu.data.build import DataLoader
+    from mopa_tpu.data.synthetic import SyntheticSCN
+
+    sampler = [np.arange(3), np.arange(3, 6), np.arange(6, 8)]
+    sync = DataLoader(SyntheticSCN(length=8, n_points=300, image_size=(32, 32),
+                                   seed=3),
+                      sampler, point_budget=128, num_workers=0)
+    pref = DataLoader(SyntheticSCN(length=8, n_points=300, image_size=(32, 32),
+                                   seed=3),
+                      sampler, point_budget=128, num_workers=3)
+    got_sync = [b["_meta"]["lidar_path"] for b in sync]
+    got_pref = [b["_meta"]["lidar_path"] for b in pref]
+    assert got_sync == got_pref
+    # early abandon must not hang
+    it = iter(DataLoader(SyntheticSCN(length=8, n_points=300,
+                                      image_size=(32, 32), seed=3),
+                         sampler, point_budget=128, num_workers=2))
+    next(it)
+    del it
