@@ -38,6 +38,32 @@ def build_lr_schedule(cfg) -> optax.Schedule:
                 return jnp.asarray(1.0)
             return gamma ** (step // step_size)
 
+    elif kind == "WarmupMultiStepLR":
+        wcfg = sched_cfg.WarmupMultiStepLR
+        milestones = list(wcfg.milestones)
+        gamma = float(wcfg.gamma)
+        warmup_factor = float(wcfg.warmup_factor)
+        warmup_steps = int(wcfg.warmup_steps)
+        warmup_method = str(wcfg.warmup_method)
+        if warmup_method not in ("constant", "linear"):
+            raise ValueError(
+                "Only 'constant' or 'linear' warmup_method accepted, got "
+                "{!r}".format(warmup_method))
+        ms = jnp.asarray(milestones, jnp.int32) if milestones else None
+
+        def schedule(step):
+            passed = (jnp.sum((step >= ms).astype(jnp.float32))
+                      if ms is not None else 0.0)
+            mult = gamma ** passed
+            if warmup_steps > 0:
+                if warmup_method == "constant":
+                    wf = jnp.asarray(warmup_factor)
+                else:
+                    alpha = step / warmup_steps
+                    wf = warmup_factor * (1 - alpha) + alpha
+                mult = mult * jnp.where(step < warmup_steps, wf, 1.0)
+            return mult
+
     elif kind in ("", None):
 
         def schedule(step):

@@ -80,6 +80,15 @@ _C.SCHEDULER.MultiStepLR = CN()
 _C.SCHEDULER.MultiStepLR.milestones = ()
 _C.SCHEDULER.MultiStepLR.gamma = 0.1
 
+# maskrcnn-benchmark-style warmup (reference lr_scheduler.py:6-51; unused by
+# the shipped configs but part of the reference solver surface)
+_C.SCHEDULER.WarmupMultiStepLR = CN()
+_C.SCHEDULER.WarmupMultiStepLR.milestones = ()
+_C.SCHEDULER.WarmupMultiStepLR.gamma = 0.1
+_C.SCHEDULER.WarmupMultiStepLR.warmup_factor = 0.1
+_C.SCHEDULER.WarmupMultiStepLR.warmup_steps = 1
+_C.SCHEDULER.WarmupMultiStepLR.warmup_method = "linear"
+
 # ---------------------------------------------------------------------------- #
 # Train
 # ---------------------------------------------------------------------------- #

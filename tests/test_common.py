@@ -142,3 +142,36 @@ def test_iou_to_excel_csv(tmp_path):
 
     out = iou_to_excel({"2D": FakeEval()}, str(tmp_path / "t.xlsx"), ["2D"])
     assert out.endswith(".csv") and os.path.exists(out)
+
+
+def test_warmup_multistep_lr_matches_torch_formula():
+    """WarmupMultiStepLR multiplier == the reference's get_lr (maskrcnn-style,
+    mopa/common/solver/lr_scheduler.py:6-51) at every step."""
+    from bisect import bisect_right
+
+    import numpy as np
+
+    from mopa_tpu.common.solver import build_lr_schedule
+    from mopa_tpu.config.xmuda import cfg as base_cfg
+
+    for method in ("linear", "constant"):
+        c = base_cfg.clone()
+        c.SCHEDULER.TYPE = "WarmupMultiStepLR"
+        c.SCHEDULER.WarmupMultiStepLR.milestones = (8, 12)
+        c.SCHEDULER.WarmupMultiStepLR.gamma = 0.1
+        c.SCHEDULER.WarmupMultiStepLR.warmup_factor = 0.25
+        c.SCHEDULER.WarmupMultiStepLR.warmup_steps = 5
+        c.SCHEDULER.WarmupMultiStepLR.warmup_method = method
+        sched = build_lr_schedule(c)
+        for step in range(16):
+            wf = 1.0
+            if step < 5:
+                if method == "constant":
+                    wf = 0.25
+                else:
+                    alpha = step / 5
+                    wf = 0.25 * (1 - alpha) + alpha
+            want = wf * 0.1 ** bisect_right([8, 12], step)
+            got = float(np.asarray(sched(step)))
+            np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=(
+                method, step))
