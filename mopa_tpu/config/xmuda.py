@@ -211,6 +211,11 @@ _C.DATASET_SOURCE.SyntheticSCN.with_vgi = False
 _C.DATASET_SOURCE.SyntheticSCN.with_ema = False
 _C.DATASET_SOURCE.SyntheticSCN.multi_objs = False
 _C.DATASET_SOURCE.SyntheticSCN.n_objs = 3
+# range-image params for the SalsaNext backbone path
+_C.DATASET_SOURCE.SyntheticSCN.proj_W = 256
+_C.DATASET_SOURCE.SyntheticSCN.proj_H = 32
+_C.DATASET_SOURCE.SyntheticSCN.fov_up = 0.05235
+_C.DATASET_SOURCE.SyntheticSCN.fov_down = -0.43633
 _C.DATASET_TARGET.SyntheticSCN = CN(_C.DATASET_SOURCE.SyntheticSCN)
 
 # ---------------------------------------------------------------------------- #
@@ -248,8 +253,10 @@ _C.MODEL_3D.SCN.pretrained = False
 # SPVCNN options
 _C.MODEL_3D.SPVCNN = CN()
 _C.MODEL_3D.SPVCNN.pretrained = False
+_C.MODEL_3D.SPVCNN.in_channels = 4
 _C.MODEL_3D.SPVCNN_Base = CN()
 _C.MODEL_3D.SPVCNN_Base.pretrained = True
+_C.MODEL_3D.SPVCNN_Base.in_channels = 4
 # SalsaNext options
 _C.MODEL_3D.SalsaNext = CN()
 _C.MODEL_3D.SalsaNext.pretrained = False

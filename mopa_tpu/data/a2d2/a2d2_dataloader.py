@@ -151,6 +151,13 @@ class A2D2SCN(A2D2Base):
         out_dict["coords"] = coords[idxs]
         out_dict["aug_points"] = aug_points[idxs]
         out_dict["feats"] = np.ones([int(idxs.sum()), 1], np.float32)
+        if self.backbone.upper().startswith("SPVCNN"):
+            # xyz + reflectance features (reference a2d2_dataloader.py:289-311)
+            refl = np.asarray(data_dict.get(
+                "reflectance", np.ones(len(points))), np.float32)
+            out_dict["feats"] = np.concatenate(
+                [aug_points[idxs].astype(np.float32),
+                 refl[idxs].reshape(-1, 1)], axis=1)
         out_dict["seg_label"] = seg_label[idxs]
         out_dict["lidar_path"] = data_dict.get("lidar_path", "")
         out_dict["scan_pth"] = data_dict.get("lidar_path", "")

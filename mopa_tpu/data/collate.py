@@ -98,6 +98,13 @@ def collate_padded(samples: List[Dict], point_budget: int,
             lab, _ = stack_points(key, -100, np.int32)
             out[key] = lab.reshape(b * p)
 
+    if "proj_in" in samples[0]:
+        # SalsaNext range inputs: (B, H, W, 5) images + per-point pixels
+        out["proj_in"] = np.stack(
+            [np.asarray(s["proj_in"], np.float32) for s in samples])
+        pxy, _ = stack_points("proj_xy", 0, np.int32)
+        out["proj_xy"] = pxy
+
     if "points_xyz" in samples[0]:
         # metric sensor-frame points for eval-time KNN range projection
         pxyz, _ = stack_points("points_xyz", 0, np.float32)

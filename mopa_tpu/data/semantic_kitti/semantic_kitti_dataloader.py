@@ -19,7 +19,8 @@ import numpy as np
 from PIL import Image
 
 from mopa_tpu.data.semantic_kitti import splits
-from mopa_tpu.data.utils.augmentation_3d import augment_and_scale_3d
+from mopa_tpu.data.utils.augmentation_3d import (augment_and_scale_3d,
+                                                 build_range_input)
 from mopa_tpu.data.utils.image_aug import color_jitter as apply_color_jitter
 from mopa_tpu.data.utils.refine_pseudo_labels import (refine_pseudo_labels,
                                                       refine_sam_2Dlabels,
@@ -165,7 +166,8 @@ class SemanticKITTISCN(SemanticKITTIBase):
                  use_pc_mm=False, multi_objs=False, obj_name_ls=(),
                  obj_root_dir=None, z_disc=None, sc_rotation=None,
                  g_indices_dir=None, sam_mask_dir=None, ema_input=False,
-                 backbone="SCN", rng=None, preprocess_dir="",
+                 backbone="SCN", proj_W=1024, proj_H=64, fov_up=0.05235,
+                 fov_down=-0.43633, rng=None, preprocess_dir="",
                  semantic_kitti_dir="", cat_type=""):
         super().__init__(split, root_dir, merge_classes=merge_classes,
                          ps_label_dir=ps_label_dir, use_pc_mm=use_pc_mm,
@@ -184,6 +186,8 @@ class SemanticKITTISCN(SemanticKITTIBase):
         self.color_jitter = tuple(color_jitter) if color_jitter else None
         self.multi_objs = multi_objs
         self.backbone = backbone
+        self.proj_W, self.proj_H = proj_W, proj_H
+        self.fov_up, self.fov_down = fov_up, fov_down
         self.ema_input = ema_input
         self.rng = rng or np.random.default_rng()
 
@@ -391,6 +395,19 @@ class SemanticKITTISCN(SemanticKITTIBase):
         out_dict["coords"] = coords[idxs]
         out_dict["aug_points"] = aug_points[idxs]
         out_dict["feats"] = np.ones([int(idxs.sum()), 1], np.float32)
+        if self.backbone.upper().startswith("SPVCNN"):
+            # xyz + remission features (reference a2d2_dataloader.py:289-311)
+            out_dict["feats"] = np.concatenate(
+                [aug_points[idxs].astype(np.float32),
+                 feats[idxs].reshape(-1, 1).astype(np.float32)], axis=1)
+        elif self.backbone == "SalsaNext":
+            pts4 = np.concatenate(
+                [points[idxs], feats[idxs].reshape(-1, 1)],
+                axis=1).astype(np.float32)
+            proj_in, proj_xy, _ = build_range_input(
+                pts4, self.fov_up, self.fov_down, self.proj_W, self.proj_H)
+            out_dict["proj_in"] = proj_in
+            out_dict["proj_xy"] = proj_xy
         out_dict["seg_label"] = seg_label[idxs]
         out_dict["img_indices"] = out_dict["img_indices"][idxs]
         out_dict["lidar_path"] = data_dict["lidar_path"]

@@ -24,7 +24,9 @@ class SyntheticSCN:
                  transl=True, fliplr=0.5, color_jitter=None, output_orig=False,
                  with_pseudo_labels=False, with_sam_mask=False,
                  with_vgi=False, with_ema=False, sam_mask_budget=16,
-                 multi_objs=False, n_objs=3, seed=0, rng=None, **_unused):
+                 multi_objs=False, n_objs=3, backbone="SCN", proj_W=256,
+                 proj_H=32, fov_up=0.05235, fov_down=-0.43633, seed=0,
+                 rng=None, **_unused):
         self.length = length
         self.n_points = n_points
         self.image_size = tuple(image_size)  # (W, H)
@@ -45,6 +47,9 @@ class SyntheticSCN:
         self.sam_mask_budget = sam_mask_budget
         self.multi_objs = multi_objs
         self.n_objs = n_objs
+        self.backbone = backbone
+        self.proj_W, self.proj_H = proj_W, proj_H
+        self.fov_up, self.fov_down = fov_up, fov_down
         self.rng = rng or np.random.default_rng(seed)
 
     def __len__(self):
@@ -143,6 +148,21 @@ class SyntheticSCN:
             "lidar_path": "synthetic/{:06d}.bin".format(index),
             "scan_pth": "synthetic/{:06d}.bin".format(index),
         })
+        if self.backbone.upper().startswith("SPVCNN"):
+            # xyz + intensity features (reference a2d2_dataloader.py:289-311)
+            inten = rng.uniform(0, 1, (int(idxs.sum()), 1)).astype(np.float32)
+            out["feats"] = np.concatenate(
+                [aug_points[idxs].astype(np.float32), inten], axis=1)
+        elif self.backbone == "SalsaNext":
+            from mopa_tpu.data.utils.augmentation_3d import build_range_input
+
+            pts4 = np.concatenate(
+                [points[idxs], rng.uniform(0, 1, (int(idxs.sum()), 1))],
+                axis=1).astype(np.float32)
+            proj_in, proj_xy, _ = build_range_input(
+                pts4, self.fov_up, self.fov_down, self.proj_W, self.proj_H)
+            out["proj_in"] = proj_in
+            out["proj_xy"] = proj_xy
 
         if self.with_pseudo_labels:
             ps = labels.copy()

@@ -146,3 +146,26 @@ def range_projection(points: np.ndarray, fov_up: float, fov_down: float,
     disc[disc_idx] = occluded
     out["pres_idx"] = ~disc
     return out
+
+
+def build_range_input(points: np.ndarray, fov_up: float, fov_down: float,
+                      proj_W: int, proj_H: int):
+    """SalsaNext-style network input: rasterise a scan into a (H, W, 5)
+    range image (range, x, y, z, intensity; empty pixels = -1, nearest point
+    wins contested pixels) plus per-point (row, col) pixels and ranges.
+
+    Host-side counterpart of the range path the reference's SalsaNext TYPE
+    expects at eval (``mopa/data/collate.py:44-123`` range_to_point inputs).
+    """
+    pr = range_projection(points, fov_up, fov_down, proj_W, proj_H)
+    px, py, depth = pr["proj_x"], pr["proj_y"], pr["depth"]
+    pix = py.astype(np.int64) * proj_W + px
+    intensity = (points[:, 3] if points.shape[1] > 3
+                 else np.zeros(len(points), np.float32))
+    vals = np.concatenate([depth[:, None], points[:, :3],
+                           intensity[:, None]], axis=1).astype(np.float32)
+    img = np.full((proj_H * proj_W, 5), -1.0, np.float32)
+    order = np.argsort(-depth)  # farthest first; nearest overwrites
+    img[pix[order]] = vals[order]
+    proj_xy = np.stack([py, px], axis=1).astype(np.int32)
+    return img.reshape(proj_H, proj_W, 5), proj_xy, depth.astype(np.float32)

@@ -30,16 +30,26 @@ from mopa_tpu.train import trainer as trainer_mod
 
 
 def make_eval_step(cfg, models, mesh=None):
+    is_range = "SalsaNext" in cfg.MODEL_3D.TYPE
+
     def eval_step(state, batch):
         valid = batch["point_valid"].reshape(-1)
-        plan = trainer_mod.build_plan_from_batch(
-            cfg, batch["coords"], batch["batch_idx"], valid)
         out2d, _ = trainer_mod._forward_2d(
             models.model_2d, state.params_2d, state.batch_stats_2d, batch,
             None, train=False)
-        out3d, _ = trainer_mod._forward_3d(
-            models.model_3d, state.params_3d, state.batch_stats_3d,
-            batch["feats"], plan, train=False)
+        if is_range:
+            # SalsaNext: dense range logits gathered back per point
+            # (reference range_to_point, mopa/data/collate.py:44-123)
+            out3d, _ = trainer_mod._forward_3d(
+                models.model_3d, state.params_3d, state.batch_stats_3d,
+                batch["feats"], None, train=False,
+                proj_in=batch["proj_in"], proj_xy=batch["proj_xy"])
+        else:
+            plan = trainer_mod.build_plan_from_batch(
+                cfg, batch["coords"], batch["batch_idx"], valid)
+            out3d, _ = trainer_mod._forward_3d(
+                models.model_3d, state.params_3d, state.batch_stats_3d,
+                batch["feats"], plan, train=False)
         probs_2d = jax.nn.softmax(out2d["seg_logit"], axis=-1)
         probs_3d = jax.nn.softmax(out3d["seg_logit"], axis=-1)
         seg_loss_2d = L.cross_entropy(out2d["seg_logit"], batch["seg_label"],

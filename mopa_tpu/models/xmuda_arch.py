@@ -84,30 +84,66 @@ class Net3DSeg(nn.Module):
 
     @nn.compact
     def __call__(self, point_feats, plan: UNetPlan, train: bool = False,
-                 n_domains: int = 1):
+                 n_domains: int = 1, proj_in=None, proj_xy=None):
         """
         Args:
-            point_feats: (B*P, in_channels) per-point features (ones for SCN).
-            plan: precomputed UNetPlan for this batch's coordinates.
+            point_feats: (B*P, in_channels) per-point features (ones for SCN;
+                xyz+intensity for SPVCNN).
+            plan: precomputed UNetPlan for this batch's coordinates
+                (7 levels for SCN, 5 for SPVCNN; unused by SalsaNext).
             n_domains: >1 fuses several independent forwards into one with
                 per-domain batch norm (plan must carry domain ids).
+            proj_in: (B, H, W, 5) range images — SalsaNext only.
+            proj_xy: (B, P, 2) int (py, px) per-point range-image pixels —
+                SalsaNext only; features are gathered per point so the heads
+                stay per-point like the other backbones.
 
-        Returns dict with 'feats' (B*P, m) and 'seg_logit' (B*P, C)
-        (+ 'seg_logit2' when dual_head).
+        Returns dict with 'feats' (B*P, out_c) and 'seg_logit' (B*P, C)
+        (+ 'seg_logit2' when dual_head; + 'seg_logit_all' (B, H, W, C) dense
+        range logits for SalsaNext, consumed by eval's range_to_point/KNN).
         """
-        if self.backbone_3d != "SCN":
+        dense_feats = None
+        if self.backbone_3d == "SCN":
+            feats = SparseUNet(
+                in_channels=self.in_channels, m=self.m,
+                num_planes=self.num_planes, block_reps=self.block_reps,
+                residual_blocks=self.residual_blocks,
+                full_scale=self.full_scale, compute_dtype=self.compute_dtype,
+                name="net_3d")(point_feats, plan, train=train,
+                               n_domains=n_domains)
+        elif "SPVCNN" in self.backbone_3d:
+            from mopa_tpu.models.spvcnn import SPVCNN
+
+            feats = SPVCNN(in_channels=self.in_channels,
+                           compute_dtype=self.compute_dtype,
+                           name="net_3d")(point_feats, plan, train=train,
+                                          n_domains=n_domains)
+        elif "SalsaNext" in self.backbone_3d:
+            from mopa_tpu.models.salsanext import SalsaNext
+
+            assert proj_in is not None and proj_xy is not None, \
+                "SalsaNext needs proj_in range images and proj_xy pixels"
+            dense_feats = SalsaNext(
+                in_channels=proj_in.shape[-1],
+                compute_dtype=self.compute_dtype,
+                name="net_3d")(proj_in, train=train)
+            b, p = proj_xy.shape[:2]
+            py = jnp.clip(proj_xy[..., 0], 0, dense_feats.shape[1] - 1)
+            px = jnp.clip(proj_xy[..., 1], 0, dense_feats.shape[2] - 1)
+            feats = jax.vmap(lambda fm, y, x: fm[y, x])(dense_feats, py, px)
+            feats = feats.reshape(b * p, -1)
+        else:
             raise NotImplementedError(
                 "3D backbone {} not supported".format(self.backbone_3d))
-        feats = SparseUNet(
-            in_channels=self.in_channels, m=self.m, num_planes=self.num_planes,
-            block_reps=self.block_reps, residual_blocks=self.residual_blocks,
-            full_scale=self.full_scale, compute_dtype=self.compute_dtype,
-            name="net_3d")(point_feats, plan, train=train, n_domains=n_domains)
         feats = feats.astype(jnp.float32)
+        head = nn.Dense(self.num_classes, name="linear")
         preds = {
             "feats": feats,
-            "seg_logit": nn.Dense(self.num_classes, name="linear")(feats),
+            "seg_logit": head(feats),
         }
         if self.dual_head:
             preds["seg_logit2"] = nn.Dense(self.num_classes, name="linear2")(feats)
+        if dense_feats is not None:
+            # dense range logits for eval-time range_to_point / KNN
+            preds["seg_logit_all"] = head(dense_feats.astype(jnp.float32))
         return preds

@@ -148,7 +148,8 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
     ema_start = (cfg.TRAIN.PC_MM.ema_start_iter if variant == "mopa"
                  else max_iteration + 1)
     step_pre = trainer_mod.make_train_step(cfg, models, with_pl=with_pl,
-                                           with_ema=False, mesh=mesh)
+                                           with_ema=False, mesh=mesh,
+                                           with_mopa=variant == "mopa")
     step_ema = None
 
     best_metric_name = "best_{}".format(cfg.VAL.METRIC)
@@ -183,7 +184,8 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
         if iteration >= ema_start:
             if step_ema is None:
                 step_ema = trainer_mod.make_train_step(
-                    cfg, models, with_pl=True, with_ema=True, mesh=mesh)
+                    cfg, models, with_pl=True, with_ema=True, mesh=mesh,
+                    with_mopa=True)
             state, metrics = step_ema(state, batch_src, batch_trg)
         else:
             state, metrics = step_pre(state, batch_src, batch_trg)

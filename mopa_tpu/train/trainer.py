@@ -50,6 +50,10 @@ class TrainState(NamedTuple):
 
 
 def _num_levels(cfg):
+    if "SPVCNN" in cfg.MODEL_3D.TYPE:
+        from mopa_tpu.models.spvcnn import NUM_LEVELS
+
+        return NUM_LEVELS
     return int(cfg.MODEL_3D.SCN.num_planes)
 
 
@@ -82,17 +86,22 @@ def create_train_state(cfg, models: Models, example_batch, seed=None):
     k2d, k3d, krest = jax.random.split(rng, 3)
     b, p = example_batch["img_indices"].shape[:2]
 
-    plan = jax.jit(functools.partial(build_plan_from_batch, cfg))(
-        example_batch["coords"], example_batch["batch_idx"],
-        example_batch["point_valid"].reshape(-1))
-
     vars_2d = models.model_2d.init(
         {"params": k2d, "dropout": k2d},
         jnp.asarray(example_batch["img"]),
         jnp.asarray(example_batch["img_indices"]),
         jnp.asarray(example_batch["point_valid"]), train=False)
-    vars_3d = models.model_3d.init(
-        k3d, jnp.asarray(example_batch["feats"]), plan, train=False)
+    if "SalsaNext" in cfg.MODEL_3D.TYPE:
+        vars_3d = models.model_3d.init(
+            k3d, jnp.asarray(example_batch["feats"]), None, train=False,
+            proj_in=jnp.asarray(example_batch["proj_in"]),
+            proj_xy=jnp.asarray(example_batch["proj_xy"]))
+    else:
+        plan = jax.jit(functools.partial(build_plan_from_batch, cfg))(
+            example_batch["coords"], example_batch["batch_idx"],
+            example_batch["point_valid"].reshape(-1))
+        vars_3d = models.model_3d.init(
+            k3d, jnp.asarray(example_batch["feats"]), plan, train=False)
 
     params_2d = vars_2d["params"]
     params_3d = vars_3d["params"]
@@ -156,20 +165,30 @@ def _forward_2d(model, params, batch_stats, batch, rng, train, prefix=""):
     return out, (mutated.get("batch_stats", batch_stats) if train else batch_stats)
 
 
-def _forward_3d(model, params, batch_stats, feats, plan, train):
+def _forward_3d(model, params, batch_stats, feats, plan, train,
+                proj_in=None, proj_xy=None, rng=None):
     variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = {}
+    if proj_in is not None:
+        kwargs = {"proj_in": proj_in, "proj_xy": proj_xy}
     out, mutated = model.apply(variables, feats, plan, train=train,
-                               mutable=["batch_stats"] if train else [])
+                               mutable=["batch_stats"] if train else [],
+                               rngs={"dropout": rng} if rng is not None
+                               else None, **kwargs)
     return out, (mutated.get("batch_stats", batch_stats) if train else batch_stats)
 
 
 def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
-                    mesh=None):
+                    mesh=None, with_mopa: bool = True):
     """Build the jitted per-iteration step for one training phase.
 
     Static phase flags (trace-time): ``with_pl`` — pseudo-label CE on target;
     ``with_ema`` — regenerate pseudo-labels with the EMA teacher before the
-    target step (reference :264-335). xm/minent/sam/vgi come from cfg lambdas.
+    target step (reference :264-335); ``with_mopa`` — enable the MoPA-only
+    SAM/VGI terms (the reference's train_xmuda/train_baseline never read
+    TRAIN.PC_MM, so the xmuda/baseline variants pass False even when the
+    merged config carries MoPA lambdas). xm/minent/sam/vgi come from cfg
+    lambdas.
     """
     lam = cfg.TRAIN.XMUDA
     pc_mm = cfg.TRAIN.PC_MM
@@ -181,12 +200,15 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
     with_xm_src = lam.lambda_xm_src > 0
     with_xm_trg = lam.lambda_xm_trg > 0
     with_minent = lam.lambda_minent > 0
-    with_sam = pc_mm.lambda_sam_cons > 0
-    with_vgi = pc_mm.lambda_pc_mm > 0
+    with_sam = with_mopa and pc_mm.lambda_sam_cons > 0
+    with_vgi = with_mopa and pc_mm.lambda_pc_mm > 0
     mask_budget = int(cfg.TPU.SAM_MASK_BUDGET)
     ema_alpha = float(pc_mm.ema_alpha_teacher)
     ema_xm_prob = float(pc_mm.ema_xm_prob)
     ema_period = max(int(pc_mm.ema_update_period), 1)
+    is_range = "SalsaNext" in cfg.MODEL_3D.TYPE
+    assert not (is_range and (with_vgi or with_ema)), \
+        "VGI/EMA are SCN-backbone paths (reference MoPA trains SCN only)"
     n_dev = 1 if mesh is None else mesh.shape["data"]
 
     def pmean(x):
@@ -279,20 +301,37 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
             trg_2d["seg_logit_all"] = out2d["seg_logit_all"][b:]
 
         # ---------- fused 3D forward: [src; trg; vgi-cat] ----------
-        n_dom3 = 3 if cat is not None else 2
-        feats_all = [batch_src["feats"], batch_trg["feats"]]
-        if cat is not None:
-            feats_all.append(cat["feats"])
-        feats_all = jnp.concatenate(feats_all)
-        out3d, mut3d = models.model_3d.apply(
-            {"params": params_3d, "batch_stats": bs3d},
-            feats_all, plan, train=True, n_domains=n_dom3,
-            mutable=["batch_stats"])
-        bs3d = mut3d["batch_stats"]
-        src_3d = {k: v[:npnt] for k, v in out3d.items()}
-        trg_3d = {k: v[npnt:2 * npnt] for k, v in out3d.items()}
-        cat_3d = ({k: v[2 * npnt:] for k, v in out3d.items()}
-                  if cat is not None else None)
+        if is_range:
+            # SalsaNext: back-to-back src/trg forwards (dense-BN semantics,
+            # no voxel plan); VGI is SCN-only like the reference
+            src_3d, bs3d = _forward_3d(
+                models.model_3d, params_3d, bs3d, batch_src["feats"], None,
+                train=True, proj_in=batch_src["proj_in"],
+                proj_xy=batch_src["proj_xy"], rng=rng)
+            trg_3d, bs3d = _forward_3d(
+                models.model_3d, params_3d, bs3d, batch_trg["feats"], None,
+                train=True, proj_in=batch_trg["proj_in"],
+                proj_xy=batch_trg["proj_xy"], rng=rng)
+            src_3d = dict(src_3d)
+            trg_3d = dict(trg_3d)
+            src_3d.pop("seg_logit_all", None)
+            trg_3d.pop("seg_logit_all", None)
+            cat_3d = None
+        else:
+            n_dom3 = 3 if cat is not None else 2
+            feats_all = [batch_src["feats"], batch_trg["feats"]]
+            if cat is not None:
+                feats_all.append(cat["feats"])
+            feats_all = jnp.concatenate(feats_all)
+            out3d, mut3d = models.model_3d.apply(
+                {"params": params_3d, "batch_stats": bs3d},
+                feats_all, plan, train=True, n_domains=n_dom3,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            bs3d = mut3d["batch_stats"]
+            src_3d = {k: v[:npnt] for k, v in out3d.items()}
+            trg_3d = {k: v[npnt:2 * npnt] for k, v in out3d.items()}
+            cat_3d = ({k: v[2 * npnt:] for k, v in out3d.items()}
+                      if cat is not None else None)
 
         # ---------- source ----------
         src_valid = batch_src["point_valid"].reshape(-1)
@@ -394,20 +433,23 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         # inputs (no parameter dependence) — hoisted out of the grad fn.
         cat = (vgi_ops.vgi_insert_batch(cfg, batch_trg, pl_3d, vgi_rng)
                if with_vgi else None)
-        b = batch_src["img_indices"].shape[0]
-        coords = [batch_src["coords"], batch_trg["coords"]]
-        bidx = [batch_src["batch_idx"], batch_trg["batch_idx"] + b]
-        valid = [batch_src["point_valid"].reshape(-1),
-                 batch_trg["point_valid"].reshape(-1)]
-        if cat is not None:
-            coords.append(cat["coords"])
-            bidx.append(cat["batch_idx"] + 2 * b)
-            valid.append(cat["valid"])
-        batch_domains = np.repeat(
-            np.arange(len(coords), dtype=np.int32), b)
-        plan = build_plan_from_batch(
-            cfg, jnp.concatenate(coords), jnp.concatenate(bidx),
-            jnp.concatenate(valid), batch_domains=batch_domains)
+        if is_range:
+            plan = None
+        else:
+            b = batch_src["img_indices"].shape[0]
+            coords = [batch_src["coords"], batch_trg["coords"]]
+            bidx = [batch_src["batch_idx"], batch_trg["batch_idx"] + b]
+            valid = [batch_src["point_valid"].reshape(-1),
+                     batch_trg["point_valid"].reshape(-1)]
+            if cat is not None:
+                coords.append(cat["coords"])
+                bidx.append(cat["batch_idx"] + 2 * b)
+                valid.append(cat["valid"])
+            batch_domains = np.repeat(
+                np.arange(len(coords), dtype=np.int32), b)
+            plan = build_plan_from_batch(
+                cfg, jnp.concatenate(coords), jnp.concatenate(bidx),
+                jnp.concatenate(valid), batch_domains=batch_domains)
 
         grad_fn = jax.value_and_grad(loss_and_metrics, argnums=(0, 1),
                                      has_aux=True)
