@@ -58,27 +58,40 @@ def main():
     src = device_batch(next(iter(build_dataloader(c, "train", "source"))))
     trg = device_batch(next(iter(build_dataloader(c, "train", "target"))))
     state = trainer_mod.create_train_state(c, models, src)
-    step = trainer_mod.make_train_step(c, models, with_pl=True, with_ema=False)
 
-    # compile + warmup. NOTE: on the axon backend block_until_ready resolves
-    # at schedule time, not completion — a tiny scalar fetch is the only
-    # reliable execution barrier, and the chained donated state serialises
-    # the steps on real device time.
-    state, metrics = step(state, src, trg)
-    _ = float(np.asarray(metrics["total_loss"]))
+    # NOTE: on the axon backend block_until_ready resolves at schedule time,
+    # not completion — a tiny scalar fetch is the only reliable execution
+    # barrier, and the chained donated state serialises the steps on real
+    # device time.
+    def measure(step, state, n_iters):
+        state, metrics = step(state, src, trg)  # compile + warmup
+        _ = float(np.asarray(metrics["total_loss"]))
+        t0 = time.time()
+        for _ in range(n_iters):
+            state, metrics = step(state, src, trg)
+        _ = float(np.asarray(metrics["total_loss"]))
+        return n_iters * c.TRAIN.BATCH_SIZE / (time.time() - t0), state
+
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
-    t0 = time.time()
-    for _ in range(n_iters):
-        state, metrics = step(state, src, trg)
-    _ = float(np.asarray(metrics["total_loss"]))
-    dt = time.time() - t0
+    step = trainer_mod.make_train_step(c, models, with_pl=True, with_ema=False)
+    scans_per_sec, state = measure(step, state, n_iters)
 
-    scans_per_sec = n_iters * c.TRAIN.BATCH_SIZE / dt
+    # EMA phase (reference iterations >= ema_start_iter: 2 extra teacher
+    # forwards + on-device refine + a second plan build; the last 30-40k of
+    # the 100k-iteration recipe runs this step)
+    step_ema = trainer_mod.make_train_step(c, models, with_pl=True,
+                                           with_ema=True)
+    ema_scans_per_sec, _ = measure(step_ema, state, n_iters)
+
+    # published recipe: ema_start_iter 60k of 100k iterations
+    weighted = 1.0 / (0.6 / scans_per_sec + 0.4 / ema_scans_per_sec)
     result = {
         "metric": "mopa_train_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 3),
         "unit": "scans/s/chip",
         "vs_baseline": round(scans_per_sec / REF_GPU_SCANS_PER_SEC, 3),
+        "value_ema_phase": round(ema_scans_per_sec, 3),
+        "value_weighted_100k": round(weighted, 3),
     }
     print(json.dumps(result))
 

@@ -46,7 +46,8 @@ def make_eval_step(cfg, models, mesh=None):
                 proj_in=batch["proj_in"], proj_xy=batch["proj_xy"])
         else:
             plan = trainer_mod.build_plan_from_batch(
-                cfg, batch["coords"], batch["batch_idx"], valid)
+                cfg, batch["coords"], batch["batch_idx"], valid,
+                sample_size=batch["point_valid"].shape[1])
             out3d, _ = trainer_mod._forward_3d(
                 models.model_3d, state.params_3d, state.batch_stats_3d,
                 batch["feats"], plan, train=False)

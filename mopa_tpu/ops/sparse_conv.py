@@ -40,7 +40,8 @@ def kernel_offsets(kernel_size: int = 3) -> np.ndarray:
     return np.asarray(list(itertools.product(r, r, r)), dtype=np.int32)
 
 
-def build_submanifold_plan(table: voxel_ops.VoxelTable, kernel_size: int = 3) -> jax.Array:
+def build_submanifold_plan(table: voxel_ops.VoxelTable, kernel_size: int = 3,
+                           ht: "voxel_ops.HashTable | None" = None) -> jax.Array:
     """Neighbour map for a submanifold conv: (V, K) slot indices, -1 = miss.
 
     Active output sites == active input sites (the submanifold property).
@@ -56,7 +57,11 @@ def build_submanifold_plan(table: voxel_ops.VoxelTable, kernel_size: int = 3) ->
     # smaller merge sort, candidate-window key compares) measured SLOWER on
     # v5e than the direct merge — the per-query candidate gathers cost more
     # than the larger sort saves. The transpose trick below has no per-query
-    # gathers, only one flat scatter.
+    # gathers, only one flat scatter. Likewise an open-addressing hash probe
+    # (``voxel.build_hash``/``hash_lookup``, pass via ``ht=``) measured 1.4x
+    # slower at fused-batch sizes: 12 probe rounds of random HBM gathers lose
+    # to the streaming sort. The winning lever is building plans PER SAMPLE
+    # (VMEM-resident sorts) — see ``scn_unet.build_unet_plan_batched``.
     offs_np = kernel_offsets(kernel_size)  # (K, 3), dz fastest; offs[K-1-k] == -offs[k]
     k = offs_np.shape[0]
     half = k // 2
@@ -68,7 +73,12 @@ def build_submanifold_plan(table: voxel_ops.VoxelTable, kernel_size: int = 3) ->
     q_valid = jnp.repeat(valid, half) & in_range
     q_batch = jnp.repeat(table.batch, half)
     q_hi, q_lo = voxel_ops.pack_keys(q_coords, q_batch, q_valid)
-    nbr_half = voxel_ops.merge_lookup(table, q_hi, q_lo, q_valid).reshape(v, half)
+    if ht is not None:
+        nbr_half = voxel_ops.hash_lookup(table, ht, q_hi, q_lo,
+                                         q_valid).reshape(v, half)
+    else:
+        nbr_half = voxel_ops.merge_lookup(table, q_hi, q_lo,
+                                          q_valid).reshape(v, half)
 
     slots = jnp.arange(v, dtype=jnp.int32)
     centre = jnp.where(valid, slots, -1)

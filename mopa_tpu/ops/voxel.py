@@ -225,6 +225,86 @@ def merge_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
     return jnp.where(q_valid, out, -1)
 
 
+def _hash32(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """32-bit key mix (Knuth/Murmur-style multiplicative hashing)."""
+    h = hi * jnp.int32(-1640531527) ^ lo * jnp.int32(-2048144789)
+    h = h ^ (jnp.right_shift(h.astype(jnp.uint32), 15)).astype(jnp.int32)
+    return h * jnp.int32(-1028477387)
+
+
+class HashTable(NamedTuple):
+    """Open-addressing (linear probing) index over a VoxelTable's keys."""
+
+    slot_hi: jax.Array   # (H,) key per slot, PAD_HI = empty
+    slot_lo: jax.Array   # (H,)
+    slot_src: jax.Array  # (H,) table slot stored there, -1 = empty
+    n_unplaced: jax.Array  # () int32 keys that did not fit in R rounds
+
+
+HASH_ROUNDS = 12
+
+
+def build_hash(table: "VoxelTable") -> HashTable:
+    """Hash-index the table keys: R rounds of scatter-min placement.
+
+    Load factor 1/2 (H = 2 * capacity, power of two); the probability of a
+    probe chain longer than HASH_ROUNDS is negligible, and ``n_unplaced``
+    lets callers fall back to the exact sort-merge when it ever happens.
+    """
+    v = table.capacity
+    h_size = 1 << max(int(v - 1).bit_length() + 1, 4)  # >= 2 * v, pow2
+    mask = jnp.int32(h_size - 1)
+    valid = table.valid_mask()
+    base = _hash32(table.key_hi, table.key_lo) & mask
+
+    slot_src = jnp.full((h_size,), -1, jnp.int32)
+    slot_hi = jnp.full((h_size,), PAD_HI, jnp.int32)
+    slot_lo = jnp.full((h_size,), PAD_HI, jnp.int32)
+    unplaced = valid
+    ids = jnp.arange(v, dtype=jnp.int32)
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    for r in range(HASH_ROUNDS):
+        tgt = (base + r) & mask
+        cand = jnp.where(unplaced, ids, big)
+        win = jnp.full((h_size,), big, jnp.int32).at[tgt].min(cand)
+        empty = slot_src < 0
+        won = unplaced & (win[tgt] == ids) & empty[tgt]
+        put = jnp.where(won, tgt, h_size)
+        slot_src = jnp.concatenate([slot_src, jnp.full((1,), -1, jnp.int32)]
+                                   ).at[put].set(ids)[:h_size]
+        slot_hi = jnp.concatenate([slot_hi, jnp.full((1,), PAD_HI, jnp.int32)]
+                                  ).at[put].set(table.key_hi)[:h_size]
+        slot_lo = jnp.concatenate([slot_lo, jnp.full((1,), PAD_HI, jnp.int32)]
+                                  ).at[put].set(table.key_lo)[:h_size]
+        unplaced = unplaced & ~won
+    return HashTable(slot_hi, slot_lo, slot_src,
+                     jnp.sum(unplaced.astype(jnp.int32)))
+
+
+def hash_lookup(table: "VoxelTable", ht: HashTable, q_hi: jax.Array,
+                q_lo: jax.Array, q_valid: jax.Array) -> jax.Array:
+    """Exact-match lookup through the hash index; falls back to the
+    sort-merge (:func:`merge_lookup`) when the build left keys unplaced, so
+    results are always exact. ~10x less memory traffic than the merge on
+    realistic sizes (R probe gathers instead of an (V + Q) log^2 sort)."""
+    h_size = ht.slot_hi.shape[0]
+    mask = jnp.int32(h_size - 1)
+
+    def probe(_):
+        base = _hash32(q_hi, q_lo) & mask
+        found = jnp.full(q_hi.shape, -1, jnp.int32)
+        for r in range(HASH_ROUNDS):
+            s = (base + r) & mask
+            hit = (ht.slot_hi[s] == q_hi) & (ht.slot_lo[s] == q_lo)
+            found = jnp.where((found < 0) & hit, ht.slot_src[s], found)
+        return jnp.where(q_valid, found, -1)
+
+    def merge(_):
+        return merge_lookup(table, q_hi, q_lo, q_valid)
+
+    return jax.lax.cond(ht.n_unplaced == 0, probe, merge, operand=None)
+
+
 def lookup(table: VoxelTable, q_coords: jax.Array, q_batch: jax.Array,
            q_valid: jax.Array) -> jax.Array:
     """Find table slots for query voxels. Returns (M,) int32, -1 on miss.

@@ -32,7 +32,8 @@ from mopa_tpu.common.solver import build_optimizer
 from mopa_tpu.models import losses as L
 from mopa_tpu.models.build import build_model_2d, build_model_3d
 from mopa_tpu.models.metric import confusion_matrix
-from mopa_tpu.models.scn_unet import build_unet_plan
+from mopa_tpu.models.scn_unet import (build_unet_plan,
+                                      build_unet_plan_batched, concat_plans)
 from mopa_tpu.ops import mixmatch as vgi_ops
 
 
@@ -58,7 +59,21 @@ def _num_levels(cfg):
 
 
 def build_plan_from_batch(cfg, coords, batch_idx, valid_flat,
-                          batch_domains=None):
+                          batch_domains=None, sample_size=None):
+    """Voxel plan for a flat (N, 3) batch. With ``sample_size`` (the static
+    per-sample point budget), plans are built per sample with ONE batched
+    (vmapped) sort per level — per-sample sorts stay VMEM-resident, an order
+    of magnitude cheaper than the monolithic 14V-key merge sorts — and
+    stitched into the same flat layout."""
+    if sample_size is not None:
+        s = coords.shape[0] // int(sample_size)
+        doms = None
+        if batch_domains is not None:
+            doms = jnp.asarray(batch_domains, jnp.int32)[:s]
+        return build_unet_plan_batched(
+            coords.reshape(s, int(sample_size), 3),
+            valid_flat.reshape(s, int(sample_size)), _num_levels(cfg),
+            sample_domains=doms)
     return build_unet_plan(coords, batch_idx, valid_flat, _num_levels(cfg),
                            batch_domains=batch_domains)
 
@@ -97,7 +112,9 @@ def create_train_state(cfg, models: Models, example_batch, seed=None):
             proj_in=jnp.asarray(example_batch["proj_in"]),
             proj_xy=jnp.asarray(example_batch["proj_xy"]))
     else:
-        plan = jax.jit(functools.partial(build_plan_from_batch, cfg))(
+        plan = jax.jit(functools.partial(
+            build_plan_from_batch, cfg,
+            sample_size=example_batch["point_valid"].shape[1]))(
             example_batch["coords"], example_batch["batch_idx"],
             example_batch["point_valid"].reshape(-1))
         vars_3d = models.model_3d.init(
@@ -223,7 +240,7 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         ori_valid = batch_trg["ori_point_valid"]
         plan = build_plan_from_batch(cfg, batch_trg["ori_coords"],
                                      batch_trg["ori_batch_idx"],
-                                     ori_valid.reshape(-1))
+                                     ori_valid.reshape(-1), sample_size=p)
         t2d = {"img": batch_trg["ori_img"],
                "img_indices": batch_trg["ori_img_indices"],
                "point_valid": ori_valid}
@@ -436,20 +453,26 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         if is_range:
             plan = None
         else:
-            b = batch_src["img_indices"].shape[0]
-            coords = [batch_src["coords"], batch_trg["coords"]]
-            bidx = [batch_src["batch_idx"], batch_trg["batch_idx"] + b]
-            valid = [batch_src["point_valid"].reshape(-1),
-                     batch_trg["point_valid"].reshape(-1)]
+            # per-sample batched plan builds (VMEM-resident sorts), stitched
+            # into one fused multi-domain plan
+            b, p = batch_src["img_indices"].shape[:2]
+            st_coords = jnp.concatenate(
+                [batch_src["coords"], batch_trg["coords"]]).reshape(
+                2 * b, p, 3)
+            st_valid = jnp.concatenate(
+                [batch_src["point_valid"].reshape(-1),
+                 batch_trg["point_valid"].reshape(-1)]).reshape(2 * b, p)
+            st_doms = np.repeat(np.arange(2, dtype=np.int32), b)
+            plan = build_unet_plan_batched(st_coords, st_valid,
+                                           _num_levels(cfg),
+                                           sample_domains=st_doms)
             if cat is not None:
-                coords.append(cat["coords"])
-                bidx.append(cat["batch_idx"] + 2 * b)
-                valid.append(cat["valid"])
-            batch_domains = np.repeat(
-                np.arange(len(coords), dtype=np.int32), b)
-            plan = build_plan_from_batch(
-                cfg, jnp.concatenate(coords), jnp.concatenate(bidx),
-                jnp.concatenate(valid), batch_domains=batch_domains)
+                n_cat = cat["valid"].shape[0] // b
+                cat_plan = build_unet_plan_batched(
+                    cat["coords"].reshape(b, n_cat, 3),
+                    cat["valid"].reshape(b, n_cat), _num_levels(cfg),
+                    sample_domains=np.full(b, 2, np.int32))
+                plan = concat_plans([plan, cat_plan])
 
         grad_fn = jax.value_and_grad(loss_and_metrics, argnums=(0, 1),
                                      has_aux=True)

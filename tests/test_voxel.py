@@ -143,3 +143,90 @@ def test_voxelize_under_jit_and_grad_through_pooling():
     assert np.all(np.isfinite(np.asarray(g)))
     # padding rows receive zero grad
     assert np.allclose(np.asarray(g)[~valid], 0.0)
+
+
+def test_hash_lookup_matches_merge_lookup():
+    """Open-addressing hash probe returns exactly the sort-merge's results
+    (hits, misses, invalid queries)."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    coords = rng.integers(0, 32, (n, 3)).astype(np.int32)
+    batch = rng.integers(0, 3, n).astype(np.int32)
+    valid = rng.random(n) > 0.1
+
+    @jax.jit
+    def run():
+        table, _, _ = voxel.voxelize(jnp.asarray(coords), jnp.asarray(batch),
+                                     jnp.asarray(valid))
+        ht = voxel.build_hash(table)
+        # queries: half real neighbours, half random (mostly misses)
+        q_coords = jnp.concatenate([
+            table.coords + jnp.asarray([1, 0, 0]),
+            jnp.asarray(rng.integers(0, 64, (n, 3)).astype(np.int32))])
+        q_batch = jnp.concatenate([
+            table.batch, jnp.asarray(rng.integers(0, 4, n).astype(np.int32))])
+        q_valid = jnp.concatenate([table.valid_mask(),
+                                   jnp.asarray(rng.random(n) > 0.2)])
+        q_hi, q_lo = voxel.pack_keys(q_coords, q_batch, q_valid)
+        want = voxel.merge_lookup(table, q_hi, q_lo, q_valid)
+        got = voxel.hash_lookup(table, ht, q_hi, q_lo, q_valid)
+        return want, got, ht.n_unplaced
+
+    want, got, unplaced = map(np.asarray, run())
+    assert int(unplaced) == 0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batched_plan_matches_monolithic_unet_outputs():
+    """Per-sample batched plan building + concat_plans produce the same
+    per-point SparseUNet outputs as the monolithic plan (slot ids permute,
+    semantics identical)."""
+    import jax
+
+    from mopa_tpu.models.scn_unet import (SparseUNet, build_unet_plan,
+                                          build_unet_plan_batched,
+                                          capacity_schedule, concat_plans)
+
+    rng = np.random.default_rng(5)
+    s, p, levels = 3, 500, 3
+    coords = rng.integers(0, 48, (s, p, 3)).astype(np.int32)
+    valid = rng.random((s, p)) > 0.2
+    feats = rng.normal(size=(s * p, 1)).astype(np.float32)
+    batch_idx = np.repeat(np.arange(s, dtype=np.int32), p)
+
+    model = SparseUNet(m=4, num_planes=levels, full_scale=48)
+
+    # overflow-free capacities so both paths keep every voxel (random dense
+    # clouds do not collapse 2x per level like real scans)
+    caps = capacity_schedule(p, levels, shrink=1.0, floor=128)
+
+    @jax.jit
+    def run():
+        mono = build_unet_plan(
+            jnp.asarray(coords.reshape(-1, 3)), jnp.asarray(batch_idx),
+            jnp.asarray(valid.reshape(-1)), levels,
+            capacities=[s * c for c in caps])
+        batched = build_unet_plan_batched(
+            jnp.asarray(coords), jnp.asarray(valid), levels, capacities=caps)
+        # also exercise concat_plans: [first 2 samples] + [last sample]
+        part1 = build_unet_plan_batched(
+            jnp.asarray(coords[:2]), jnp.asarray(valid[:2]), levels,
+            capacities=caps)
+        part2 = build_unet_plan_batched(
+            jnp.asarray(coords[2:]), jnp.asarray(valid[2:]), levels,
+            capacities=caps)
+        stitched = concat_plans([part1, part2])
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                               mono, train=False)
+        outs = [model.apply(variables, jnp.asarray(feats), pl, train=False)
+                for pl in (mono, batched, stitched)]
+        return outs
+
+    o_mono, o_batched, o_stitched = map(np.asarray, run())
+    pv = valid.reshape(-1)
+    np.testing.assert_allclose(o_batched[pv], o_mono[pv], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(o_stitched[pv], o_mono[pv], rtol=1e-4,
+                               atol=1e-4)

@@ -64,7 +64,7 @@ def main():
 
     # 1. plan build, chained through coords
     plan_fn = jax.jit(lambda coords, bidx, v: trainer_mod.build_plan_from_batch(
-        c, coords, bidx, v))
+        c, coords, bidx, v, sample_size=c.TPU.POINT_BUDGET))
 
     def plan_feedback(plan, args):
         coords, bidx, v = args
