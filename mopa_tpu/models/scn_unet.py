@@ -35,13 +35,24 @@ from mopa_tpu.ops import voxel as voxel_ops
 
 
 class LevelPlan(NamedTuple):
-    nbr: jax.Array          # (V_l, 27) submanifold neighbour map
+    nbr: jax.Array | None   # (V_l, 27) exact neighbour map (legacy path)
     valid: jax.Array        # (V_l,) active-slot mask
     # transition from the previous (finer) level; level 0 holds point maps
     down_nbr: jax.Array | None   # (V_l, 8) coarse->fine gather map (None at l=0)
     f2c: jax.Array | None        # (V_{l-1},) fine->coarse map (None at l=0)
     up_off: jax.Array | None     # (V_{l-1},) kernel-offset idx for deconv
     dom: jax.Array | None = None  # (V_l,) BN-domain id (fused multi-forward)
+    # wide-column plan (preferred; 2.4x cheaper gathers — sparse_conv.WidePlan)
+    ranks: jax.Array | None = None  # (V_l, 9)
+    sel: jax.Array | None = None    # (V_l, 9, 3)
+
+
+def apply_submanifold(x, lv: LevelPlan, weight):
+    """Submanifold conv through whichever plan form the level carries."""
+    if lv.ranks is not None:
+        return sc.submanifold_conv_wide(x, sc.WidePlan(lv.ranks, lv.sel),
+                                        weight)
+    return sc.submanifold_conv(x, lv.nbr, weight)
 
 
 class UNetPlan(NamedTuple):
@@ -101,7 +112,8 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
         pending = (None, None, None)
         for l in range(num_levels):
             nums.append(prev.num)
-            levels.append((sc.build_submanifold_plan(prev), prev.valid_mask(),
+            wide = sc.build_wide_plan(prev)
+            levels.append((wide.ranks, wide.sel, prev.valid_mask(),
                            pending[0], pending[1], pending[2]))
             if l + 1 < num_levels:
                 coarse, f2c = voxel_ops.downsample_coords(prev,
@@ -116,22 +128,26 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
 
     levels_b, inverse_b, counts_b, nums_b = jax.vmap(one)(coords, valid)
 
-    def offset_flat(arr, cap):
-        """(S, cap[, K]) slot-index array -> flat global-slot array."""
+    def offset_flat(arr, cap, sentinel_to=-1):
+        """(S, cap[, K]) slot-index array -> flat global-slot array.
+        Negative entries stay ``sentinel_to``; offsets are value-space."""
         off = (jnp.arange(s, dtype=jnp.int32) * cap).reshape(
             (s,) + (1,) * (arr.ndim - 1))
-        out = jnp.where(arr >= 0, arr + off, -1)
+        out = jnp.where(arr >= 0, arr + off, sentinel_to)
         return out.reshape((s * arr.shape[1],) + arr.shape[2:])
 
     levels = []
     for l in range(num_levels):
-        nbr_b, valid_l, down_b, f2c_b, up_b = levels_b[l]
+        ranks_b, sel_b, valid_l, down_b, f2c_b, up_b = levels_b[l]
         dom = None
         if sample_domains is not None:
             dom = jnp.repeat(jnp.asarray(sample_domains, jnp.int32),
                              capacities[l])
+        # ranks are table positions; the all-miss sentinel (== capacity)
+        # lands on the next sample's first row after offsetting — harmless,
+        # its sel rows are already 3 (invalid)
         levels.append(LevelPlan(
-            nbr=offset_flat(nbr_b, capacities[l]),
+            nbr=None,
             valid=valid_l.reshape(-1),
             down_nbr=(offset_flat(down_b, capacities[l - 1])
                       if down_b is not None else None),
@@ -139,6 +155,8 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
                  if f2c_b is not None else None),
             up_off=(up_b.reshape(-1) if up_b is not None else None),
             dom=dom,
+            ranks=offset_flat(ranks_b, capacities[l]),
+            sel=sel_b.reshape(-1),
         ))
     return UNetPlan(levels=tuple(levels),
                     point_inverse=offset_flat(inverse_b, capacities[0]),
@@ -205,22 +223,27 @@ def concat_plans(plans: Sequence[UNetPlan]) -> UNetPlan:
 
     levels = []
     for l in range(num_levels):
-        caps = [p.levels[l].nbr.shape[0] for p in plans]
+        caps = [p.levels[l].valid.shape[0] for p in plans]
         lv = [p.levels[l] for p in plans]
         if l == 0:
             down = f2c = up = None
         else:
-            fine_caps = [p.levels[l - 1].nbr.shape[0] for p in plans]
+            fine_caps = [p.levels[l - 1].valid.shape[0] for p in plans]
             down = shifted([x.down_nbr for x in lv], fine_caps)
             f2c = shifted([x.f2c for x in lv], caps)
             up = jnp.concatenate([x.up_off for x in lv])
         dom = (jnp.concatenate([x.dom for x in lv])
                if lv[0].dom is not None else None)
         levels.append(LevelPlan(
-            nbr=shifted([x.nbr for x in lv], caps),
+            nbr=(shifted([x.nbr for x in lv], caps)
+                 if lv[0].nbr is not None else None),
             valid=jnp.concatenate([x.valid for x in lv]),
-            down_nbr=down, f2c=f2c, up_off=up, dom=dom))
-    cap0 = [p.levels[0].nbr.shape[0] for p in plans]
+            down_nbr=down, f2c=f2c, up_off=up, dom=dom,
+            ranks=(shifted([x.ranks for x in lv], caps)
+                   if lv[0].ranks is not None else None),
+            sel=(jnp.concatenate([x.sel for x in lv])
+                 if lv[0].sel is not None else None)))
+    cap0 = [p.levels[0].valid.shape[0] for p in plans]
     return UNetPlan(
         levels=tuple(levels),
         point_inverse=shifted([p.point_inverse for p in plans], cap0),
@@ -287,13 +310,13 @@ class SparseUNet(nn.Module):
         cdt = self.compute_dtype
 
         # InputLayer mode=4: mean-pool duplicate points into level-0 voxels
-        cap0 = plan.levels[0].nbr.shape[0]
+        cap0 = plan.levels[0].valid.shape[0]
         x = voxel_ops.pool_features(point_feats.astype(cdt), plan.point_inverse,
                                     plan.point_counts, cap0)
 
         # stem: SubmanifoldConvolution(in_channels -> m), no bias (ref :27)
         w_stem = self.param("stem", _conv_init, (27, self.in_channels, self.m))
-        x = sc.submanifold_conv(x, plan.levels[0].nbr, w_stem)
+        x = apply_submanifold(x, plan.levels[0], w_stem)
 
         x = self._level(0, x, plan, planes, train, n_domains)
 
@@ -310,7 +333,7 @@ class SparseUNet(nn.Module):
         # block: BNLeakyReLU -> SubConv(p -> p)
         x = _BN(p, name=f"l{l}_bn1")(x, lv.valid, train, lv.dom, n_domains)
         w1 = self.param(f"l{l}_conv1", _conv_init, (27, p, p))
-        x = sc.submanifold_conv(x, lv.nbr, w1)
+        x = apply_submanifold(x, lv, w1)
 
         if l + 1 < len(planes):
             q = planes[l + 1]
@@ -337,5 +360,5 @@ class SparseUNet(nn.Module):
             x = _BN(2 * p, name=f"l{l}_bn2")(x, lv.valid, train, lv.dom,
                                              n_domains)
             w2 = self.param(f"l{l}_conv2", _conv_init, (27, 2 * p, p))
-            x = sc.submanifold_conv(x, lv.nbr, w2)
+            x = apply_submanifold(x, lv, w2)
         return x

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mopa_tpu.models.scn_unet import _BN, UNetPlan
+from mopa_tpu.models.scn_unet import _BN, UNetPlan, apply_submanifold
 from mopa_tpu.ops import sparse_conv as sc
 from mopa_tpu.ops import voxel as voxel_ops
 
@@ -85,11 +85,11 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, lv, train: bool, n_domains: int):
         w1 = self.param("conv1", _conv_init, (27, self.cin, self.cout))
-        h = sc.submanifold_conv(x, lv.nbr, w1)
+        h = apply_submanifold(x, lv, w1)
         h = _BN(self.cout, act=True, name="bn1")(h, lv.valid, train, lv.dom,
                                                  n_domains)
         w2 = self.param("conv2", _conv_init, (27, self.cout, self.cout))
-        h = sc.submanifold_conv(h, lv.nbr, w2)
+        h = apply_submanifold(h, lv, w2)
         h = _BN(self.cout, act=False, name="bn2")(h, lv.valid, train, lv.dom,
                                                   n_domains)
         if self.cin != self.cout:
@@ -138,14 +138,14 @@ class SPVCNN(nn.Module):
 
         z = point_feats.astype(cdt)
         # stem (level 0): two subm convs
-        cap0 = lv[0].nbr.shape[0]
+        cap0 = lv[0].valid.shape[0]
         x0 = point_to_voxel(z, pmaps[0], cap0)
         w_s1 = self.param("stem1", _conv_init, (27, self.in_channels, cs[0]))
-        x0 = sc.submanifold_conv(x0, lv[0].nbr, w_s1)
+        x0 = apply_submanifold(x0, lv[0], w_s1)
         x0 = bn(cs[0], "stem_bn1")(x0, lv[0].valid, train, lv[0].dom,
                                    n_domains)
         w_s2 = self.param("stem2", _conv_init, (27, cs[0], cs[0]))
-        x0 = sc.submanifold_conv(x0, lv[0].nbr, w_s2)
+        x0 = apply_submanifold(x0, lv[0], w_s2)
         x0 = bn(cs[0], "stem_bn2")(x0, lv[0].valid, train, lv[0].dom,
                                    n_domains)
         z0 = voxel_to_point(x0, pmaps[0])
@@ -190,7 +190,7 @@ class SPVCNN(nn.Module):
                 y, fine, train, n_domains)
             return y
 
-        y1 = point_to_voxel(z1, pmaps[4], lv[4].nbr.shape[0])
+        y1 = point_to_voxel(z1, pmaps[4], lv[4].valid.shape[0])
         y1 = up_stage(y1, 4, cs[5], skips[3], cs[3], "1")
         y2 = up_stage(y1, 3, cs[6], skips[2], cs[2], "2")
 
@@ -199,7 +199,7 @@ class SPVCNN(nn.Module):
         z2 = z2 + point_mlp(z1, cs[6], "1")
         z2 = nn.Dropout(self.dropout, deterministic=not train)(z2)
 
-        y3 = point_to_voxel(z2, pmaps[2], lv[2].nbr.shape[0])
+        y3 = point_to_voxel(z2, pmaps[2], lv[2].valid.shape[0])
         y3 = up_stage(y3, 2, cs[7], skips[1], cs[1], "3")
         y4 = up_stage(y3, 1, cs[8], skips[0], cs[0], "4")
 

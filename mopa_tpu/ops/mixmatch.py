@@ -187,9 +187,11 @@ def vgi_insert_sample(points, pvalid, ps_label, g_mask, objs, ovalid,
 
         # condition 1: front half + image frustum (reference :143-153)
         valid = free & (cx > 0)
-        # project with ground-level z (approximation of the conv-derived z
-        # center; the final z comes from the road snap anyway)
-        cz = jnp.full_like(cx, z_min + 1.0)
+        # conv-derived z center (reference check_overlap :320-326:
+        # z_start + (ext_z - 1)/2 in the [zmin, zmin+2] window; z_start
+        # averaged over the {0, 1} starts checked above)
+        cz = jnp.full_like(
+            cx, (zmin_vox + 0.5 + (ext[2].astype(jnp.float32) - 1) / 2) * vs)
         ones = jnp.ones_like(cx)
         hom = jnp.stack([cx, cy, cz, ones], axis=-1)  # (gx, gy, 4)
         uvw = jnp.einsum("rc,xyc->xyr", proj_matrix, hom)

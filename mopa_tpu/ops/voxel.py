@@ -225,6 +225,33 @@ def merge_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
     return jnp.where(q_valid, out, -1)
 
 
+def rank_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
+                q_valid: jax.Array) -> jax.Array:
+    """Lower-bound rank of each query key among the table's sorted keys:
+    rank = #\\{table keys < query\\}. One sort-merge like :func:`merge_lookup`
+    but returning insertion positions instead of exact matches — the basis of
+    the wide-column conv plans (one rank per (dx, dy) column replaces three
+    exact lookups). Invalid queries get rank = capacity (all-padding window).
+    """
+    v = table.capacity
+    q = q_hi.shape[0]
+    hi = jnp.concatenate([q_hi, table.key_hi])
+    lo = jnp.concatenate([q_lo, table.key_lo])
+    # queries sort BEFORE equal table keys (src < q) => the exclusive table
+    # count at a query's position is exactly lower_bound
+    src = jnp.concatenate([jnp.arange(q, dtype=jnp.int32),
+                           jnp.arange(q, q + v, dtype=jnp.int32)])
+    s_hi, s_lo, s_srcc = jax.lax.sort((hi, lo, src), num_keys=3)
+    is_t = s_srcc >= q
+    # exclusive running count of table entries
+    tcount = jnp.cumsum(is_t.astype(jnp.int32)) - is_t.astype(jnp.int32)
+    is_q = ~is_t
+    out_idx = jnp.where(is_q, s_srcc, q)
+    ranks = jnp.zeros((q + 1,), jnp.int32).at[out_idx].set(
+        jnp.where(is_q, tcount, 0))[:q]
+    return jnp.where(q_valid, ranks, v)
+
+
 def _hash32(hi: jax.Array, lo: jax.Array) -> jax.Array:
     """32-bit key mix (Knuth/Murmur-style multiplicative hashing)."""
     h = hi * jnp.int32(-1640531527) ^ lo * jnp.int32(-2048144789)

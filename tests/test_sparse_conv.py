@@ -290,3 +290,69 @@ def test_down_plan_from_f2c_matches_merge_lookup():
 
     old, new = jax.tree_util.tree_map(np.asarray, run())
     np.testing.assert_array_equal(old, new)
+
+
+def test_rank_lookup_lower_bound():
+    rng = np.random.default_rng(13)
+    coords, batch_idx, valid, _ = make_cloud(rng, n=200, scale=10)
+
+    @jax.jit
+    def run():
+        table, _, _ = voxel.voxelize(coords, batch_idx, valid)
+        q_coords = jnp.concatenate([
+            table.coords,                              # exact keys
+            table.coords + jnp.asarray([0, 0, 1]),     # maybe-miss keys
+        ])
+        q_batch = jnp.concatenate([table.batch, table.batch])
+        q_valid = jnp.concatenate([table.valid_mask(), table.valid_mask()])
+        q_hi, q_lo = voxel.pack_keys(q_coords, q_batch, q_valid)
+        r = voxel.rank_lookup(table, q_hi, q_lo, q_valid)
+        return table.key_hi, table.key_lo, q_hi, q_lo, q_valid, r
+
+    khi, klo, qhi, qlo, qv, r = map(np.asarray, run())
+    keys = [(h, l) for h, l in zip(khi.tolist(), klo.tolist())]
+    for i in range(len(qhi)):
+        if not qv[i]:
+            assert r[i] == len(khi)
+            continue
+        want = sum(1 for k in keys if k < (qhi[i], qlo[i]))
+        assert r[i] == want, (i, r[i], want)
+
+
+def test_wide_conv_matches_exact_conv_and_grads():
+    """submanifold_conv_wide == submanifold_conv over the exact neighbour
+    map, forward and backward (fwd uses 9 wide gathers + dz realignment)."""
+    rng = np.random.default_rng(17)
+    cin, cout = 5, 7
+    coords, batch_idx, valid, feats = make_cloud(rng, n=120, scale=8, cin=cin)
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32)
+
+    @jax.jit
+    def run(feats, w):
+        table, inverse, counts = voxel.voxelize(coords, batch_idx, valid)
+        vfeats = voxel.pool_features(feats, inverse, counts, table.capacity)
+        vfeats = jnp.where(table.valid_mask()[:, None], vfeats, 0.0)
+        nbr = sc.build_submanifold_plan(table)
+        wide = sc.build_wide_plan(table)
+
+        def loss_exact(f, w):
+            return jnp.sum(jnp.where(table.valid_mask()[:, None],
+                                     sc.submanifold_conv(f, nbr, w), 0.) ** 2)
+
+        def loss_wide(f, w):
+            return jnp.sum(jnp.where(
+                table.valid_mask()[:, None],
+                sc.submanifold_conv_wide(f, wide, w), 0.) ** 2)
+
+        o1 = sc.submanifold_conv(vfeats, nbr, w)
+        o2 = sc.submanifold_conv_wide(vfeats, wide, w)
+        g1 = jax.grad(loss_exact, argnums=(0, 1))(vfeats, w)
+        g2 = jax.grad(loss_wide, argnums=(0, 1))(vfeats, w)
+        mask = table.valid_mask()
+        return o1, o2, g1, g2, mask
+
+    o1, o2, (gf1, gw1), (gf2, gw2), mask = jax.tree_util.tree_map(
+        np.asarray, run(jnp.asarray(feats), jnp.asarray(w)))
+    np.testing.assert_allclose(o2[mask], o1[mask], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gf2[mask], gf1[mask], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(gw2, gw1, rtol=1e-3, atol=1e-4)
