@@ -59,7 +59,7 @@ class DomainBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
             out = (f32 - mean) * (jax.lax.rsqrt(var + self.epsilon) * scale) \
                 + bias
-            return out
+            return out.astype(x.dtype)
         if d == 1:
             mean = jnp.mean(f32, axis=tuple(range(f32.ndim - 1)))
             var = jnp.mean(jnp.square(f32 - mean),
@@ -88,7 +88,7 @@ class DomainBatchNorm(nn.Module):
         if not self.is_initializing():
             ra_mean.value = new_mean
             ra_var.value = new_var
-        return out
+        return out.astype(x.dtype)
 
 
 class BasicBlock(nn.Module):

@@ -102,9 +102,12 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
         capacities = capacity_schedule(p, num_levels, floor=128)
     capacities = [int(c) for c in capacities]
 
-    def one(c, v):
-        zero_batch = jnp.zeros((p,), jnp.int32)
-        table, inverse, counts = voxel_ops.voxelize(c, zero_batch, v,
+    def one(c, v, sid):
+        # the sample id rides in the key's batch field so stitched tables
+        # have globally unique, sample-major-sorted keys (window reads that
+        # cross a sample boundary can then never false-match)
+        sid_batch = jnp.full((p,), sid, jnp.int32)
+        table, inverse, counts = voxel_ops.voxelize(c, sid_batch, v,
                                                     capacities[0])
         levels = []
         nums = []
@@ -112,6 +115,8 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
         pending = (None, None, None)
         for l in range(num_levels):
             nums.append(prev.num)
+            # exact neighbour merge (sorts batch well under vmap), then
+            # (ranks, sel) derived elementwise — no gathers anywhere
             wide = sc.build_wide_plan(prev)
             levels.append((wide.ranks, wide.sel, prev.valid_mask(),
                            pending[0], pending[1], pending[2]))
@@ -126,7 +131,8 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
                 prev = coarse
         return levels, inverse, counts, jnp.stack(nums)
 
-    levels_b, inverse_b, counts_b, nums_b = jax.vmap(one)(coords, valid)
+    levels_b, inverse_b, counts_b, nums_b = jax.vmap(one)(
+        coords, valid, jnp.arange(s, dtype=jnp.int32))
 
     def offset_flat(arr, cap, sentinel_to=-1):
         """(S, cap[, K]) slot-index array -> flat global-slot array.

@@ -53,16 +53,17 @@ class Net2DSeg(nn.Module):
                 "2D backbone {} not supported".format(self.backbone_2d))
         x = UNetResNet34(pretrained=self.pretrained, dtype=self.compute_dtype,
                          n_domains=n_domains, name="net_2d")(img, train=train)
-        x = x.astype(jnp.float32)
+        # lift in the compute dtype: the lifting backward is a scatter-add of
+        # (B*P, 64) rows into the dense map — f32 doubles its traffic
 
         head = nn.Dense(self.num_classes, name="linear")
         preds = {}
         if self.output_all:
-            preds["seg_logit_all"] = head(x)
+            preds["seg_logit_all"] = head(x.astype(jnp.float32))
 
         b, p = img_indices.shape[:2]
         img_feats = lift_image_feats(x, img_indices, point_valid)
-        img_feats = img_feats.reshape(b * p, -1)
+        img_feats = img_feats.astype(jnp.float32).reshape(b * p, -1)
         preds["feats"] = img_feats
         preds["seg_logit"] = head(img_feats)
         if self.dual_head:

@@ -105,8 +105,8 @@ class WidePlan(NamedTuple):
     dz in {-1, 0, 1} neighbours occupy CONSECUTIVE table rows starting at the
     lower bound of key(x+dx, y+dy, z-1); the conv gathers one (3 Cin)-wide
     row per column from a shift-packed feature array and realigns dz slots
-    with a tiny plan-time permutation. Rank queries also shrink the plan's
-    merge sort from 14 V to 10 V keys.
+    with a tiny plan-time permutation (ranks/sel derive elementwise from the
+    exact neighbour merge — see :func:`wide_from_nbr`).
 
     All arrays are FLAT 1-D: small trailing dims ((V, 9) / (V, 9, 3)) would
     be tile-padded to (.., 128) on TPU, inflating memory ~14x.
@@ -127,46 +127,36 @@ WIDE_COLS = np.asarray([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
                        dtype=np.int32)  # (9, 2)
 
 
+def wide_from_nbr(nbr: jax.Array, capacity: int | None = None) -> WidePlan:
+    """Derive the wide plan from the exact (V, 27) neighbour map — pure
+    elementwise math, ZERO gathers (gathering candidate keys at the ranks
+    measured ~85 ms/step; the exact map comes from the same merge sort).
+
+    A column's existing dz candidates occupy CONSECUTIVE table rows (keys
+    are consecutive integers in a sorted unique table), so the window start
+    is the smallest existing slot and sel is the sorted order of existing
+    dz's.
+    """
+    v = nbr.shape[0] if capacity is None else capacity
+    ranks_cols = []
+    code_cols = []
+    for c in range(9):
+        s0, s1, s2 = nbr[:, 3 * c], nbr[:, 3 * c + 1], nbr[:, 3 * c + 2]
+        e0, e1, e2 = s0 >= 0, s1 >= 0, s2 >= 0
+        r = jnp.where(e0, s0, jnp.where(e1, s1, jnp.where(e2, s2, v)))
+        t0 = jnp.where(e0, 0, jnp.where(e1, 1, jnp.where(e2, 2, 3)))
+        t1 = jnp.where(e0 & e1, 1, jnp.where((e0 | e1) & e2, 2, 3))
+        t2 = jnp.where(e0 & e1 & e2, 2, 3)
+        ranks_cols.append(r)
+        code_cols.append(t0 + (t1 << 2) + (t2 << 4))
+    ranks = jnp.stack(ranks_cols, axis=1).reshape(-1)
+    sel = jnp.stack(code_cols, axis=1).reshape(-1)
+    return WidePlan(ranks=ranks, sel=sel)
+
+
 def build_wide_plan(table: voxel_ops.VoxelTable) -> WidePlan:
     """Build the wide-column plan (see :class:`WidePlan`)."""
-    v = table.capacity
-    valid = table.valid_mask()
-    coords = table.coords
-    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
-    cols = jnp.asarray(WIDE_COLS)
-
-    qx = x[:, None] + cols[None, :, 0]          # (V, 9)
-    qy = y[:, None] + cols[None, :, 1]
-    col_ok = (valid[:, None] & (qx >= 0) & (qx < voxel_ops.SHIFT)
-              & (qy >= 0) & (qy < voxel_ops.SHIFT))
-    base_hi = table.batch[:, None] * voxel_ops.SHIFT + qx
-    base_lo = qy * voxel_ops.SHIFT + (z[:, None] - 1)
-    q_hi = jnp.where(col_ok, base_hi, voxel_ops.PAD_HI).reshape(-1)
-    q_lo = jnp.where(col_ok, base_lo, voxel_ops.PAD_HI).reshape(-1)
-    ranks = voxel_ops.rank_lookup(table, q_hi, q_lo,
-                                  col_ok.reshape(-1)).reshape(v, 9)
-
-    # shift-packed key windows: row r covers table rows r, r+1, r+2
-    def win(a):
-        pad = jnp.full((2,), voxel_ops.PAD_HI, a.dtype)
-        ap = jnp.concatenate([a, pad])
-        return jnp.stack([ap[:v], ap[1:v + 1], ap[2:v + 2]], axis=1)  # (V, 3)
-
-    khi_w = win(table.key_hi)
-    klo_w = win(table.key_lo)
-    safe_r = jnp.clip(ranks, 0, v - 1)
-    cand_hi = khi_w[safe_r]                     # (V, 9, 3)
-    cand_lo = klo_w[safe_r]
-
-    # dz slot of each candidate row: its key minus the column's base key
-    t = jnp.where((cand_hi == base_hi[..., None]) & col_ok[..., None],
-                  cand_lo - base_lo[..., None], -1)
-    zc = z[:, None, None] - 1 + t               # absolute z of the candidate
-    ok = ((t >= 0) & (t <= 2)
-          & (zc >= 0) & (zc < voxel_ops.SHIFT))  # kill packing aliases
-    sel3 = jnp.where(ok, t, 3).astype(jnp.int32)  # (V, 9, 3)
-    code = sel3[..., 0] + (sel3[..., 1] << 2) + (sel3[..., 2] << 4)
-    return WidePlan(ranks=ranks.reshape(-1), sel=code.reshape(-1))
+    return wide_from_nbr(build_submanifold_plan(table), table.capacity)
 
 
 def _wide_gather_align(feats: jax.Array, plan: WidePlan) -> jax.Array:
