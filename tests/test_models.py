@@ -107,3 +107,37 @@ def test_capacity_schedule():
     caps = capacity_schedule(10000, 7)
     assert caps[0] == 10000 and len(caps) == 7
     assert all(c >= 512 for c in caps)
+
+
+def test_lifting_backward_matches_scatter_add():
+    """The sort+cumsum custom VJP of lift_image_feats equals the naive
+    scatter-add gradient (duplicate pixels, padding points, clipping)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mopa_tpu.ops.lifting import lift_image_feats
+
+    rng = np.random.default_rng(21)
+    b, h, w, c, p = 3, 12, 17, 5, 200
+    fm = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    # duplicates + out-of-range (exercises clipping) + padding
+    idx = np.stack([rng.integers(-2, h + 2, (b, p)),
+                    rng.integers(-2, w + 2, (b, p))], -1).astype(np.int32)
+    valid = rng.random((b, p)) > 0.3
+    ct = rng.normal(size=(b, p, c)).astype(np.float32)
+
+    def loss(f):
+        return jnp.sum(lift_image_feats(f, jnp.asarray(idx),
+                                        jnp.asarray(valid)) * jnp.asarray(ct))
+
+    got = np.asarray(jax.jit(jax.grad(loss))(jnp.asarray(fm)))
+
+    want = np.zeros_like(fm)
+    for bi in range(b):
+        for pi in range(p):
+            if not valid[bi, pi]:
+                continue
+            r = min(max(idx[bi, pi, 0], 0), h - 1)
+            cc = min(max(idx[bi, pi, 1], 0), w - 1)
+            want[bi, r, cc] += ct[bi, pi]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
