@@ -69,7 +69,13 @@ def _tiny_backbone_cfg(backbone):
     return c
 
 
-def test_spvcnn_xmuda_train_step():
+def test_spvcnn_xmuda_train_step_and_validate():
+    import logging
+
+    from mopa_tpu.common.metric_logger import MetricLogger
+    from mopa_tpu.data.build import build_dataloader
+    from mopa_tpu.data.utils.validate import validate
+
     c = _tiny_backbone_cfg("SPVCNN")
     models, _ = trainer.build_models(c, output_all=False)
     src_it, trg_it = _loaders(c)
@@ -82,6 +88,13 @@ def test_spvcnn_xmuda_train_step():
     m = {k: np.asarray(v) for k, v in m.items()}
     for k in ("loss_src_2d", "loss_src_3d", "xm_loss_src_2d", "total_loss"):
         assert np.isfinite(m[k]), (k, m[k])
+
+    c.VAL.BATCH_SIZE = 2
+    c.DATASET_TARGET.SyntheticSCN.length = 4
+    val_loader = build_dataloader(c, "val", "target")
+    logger = logging.getLogger("test_backbones")
+    eval_dict = validate(c, state1, models, val_loader, MetricLogger(), logger)
+    assert eval_dict["3D"].confusion_matrix.sum() > 0
 
 
 def test_salsanext_xmuda_train_step_and_validate():
