@@ -85,7 +85,8 @@ class A2D2SCN(A2D2Base):
                  full_scale=4096, use_image=True, resize=(480, 302),
                  image_normalizer=None, noisy_rot=0.0, flip_y=0.0, rot_z=0.0,
                  transl=False, fliplr=0.0, color_jitter=None, use_feats=False,
-                 use_sparse_quantize=False, backbone="SCN", rng=None):
+                 use_sparse_quantize=False, backbone="SCN",
+                 with_depth_label=False, rng=None):
         super().__init__(split, preprocess_dir, merge_classes=merge_classes)
         self.scale = scale
         self.full_scale = full_scale
@@ -96,6 +97,7 @@ class A2D2SCN(A2D2Base):
         self.use_feats = use_feats
         self.backbone = backbone
         self.use_image = use_image
+        self.with_depth_label = with_depth_label
         self.resize = tuple(resize) if resize else None
         self.image_normalizer = image_normalizer
         self.fliplr = fliplr
@@ -163,4 +165,10 @@ class A2D2SCN(A2D2Base):
         out_dict["scan_pth"] = data_dict.get("lidar_path", "")
         if self.use_image:
             out_dict["img_indices"] = out_dict["img_indices"][idxs]
+            if self.with_depth_label:
+                from mopa_tpu.data.utils.depth_label import dense_depth_label
+
+                out_dict["depth_label"] = dense_depth_label(
+                    out_dict["img"].shape[:2], out_dict["img_indices"],
+                    points[idxs])
         return out_dict

@@ -149,6 +149,11 @@ def build_dataloader(cfg, mode="train", domain="source", start_iteration=0,
     dataset_kwargs = dict(dataset_cfg.get(dataset_cfg.TYPE, {}))
     # dataset input format follows the 3D backbone (reference build.py:64)
     dataset_kwargs.setdefault("backbone", cfg.MODEL_3D.TYPE)
+    # depth auxiliary labels: source-domain training only (the depth RMSE
+    # hook reads data_batch_src, reference train_xmuda_mopa.py:405-410)
+    if (bool(cfg.TRAIN.get("DEPTH_PRED", False)) and is_train
+            and domain == "source"):
+        dataset_kwargs["with_depth_label"] = True
     aug = dict(dataset_kwargs.pop("augmentation", {}))
     if is_train:
         dataset_kwargs.update(aug)

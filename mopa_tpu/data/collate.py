@@ -115,6 +115,10 @@ def collate_padded(samples: List[Dict], point_budget: int,
             [remap_mask_ids(np.asarray(s["sam_mask"]), mask_budget) for s in samples])
 
     # ----- EMA originals -----
+    if "depth_label" in samples[0]:
+        out["depth_label"] = np.stack(
+            [np.asarray(s["depth_label"], np.float32) for s in samples])
+
     if "ori_img" in samples[0]:
         out["ori_img"] = np.stack(
             [np.asarray(s["ori_img"], np.float32) for s in samples])

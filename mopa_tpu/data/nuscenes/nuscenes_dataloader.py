@@ -106,7 +106,7 @@ class NuScenesSCN(NuScenesBase):
                  ps_label_dir=None, use_pc_mm=False, multi_objs=False,
                  g_indices_dir=None, obj_name_ls=(), obj_root_dir=None,
                  z_disc=None, sc_rotation=None, sam_mask_dir=None,
-                 ema_input=False, rng=None):
+                 ema_input=False, with_depth_label=False, rng=None):
         super().__init__(split, preprocess_dir, label_mode,
                          merge_classes=merge_classes, pselab_paths=pselab_paths)
         self.nuscenes_dir = nuscenes_dir
@@ -129,6 +129,7 @@ class NuScenesSCN(NuScenesBase):
         self.g_indices_dir = g_indices_dir
         self.sam_mask_dir = sam_mask_dir
         self.ema_input = ema_input
+        self.with_depth_label = with_depth_label
         self.rng = rng or np.random.default_rng()
 
         if self.use_pc_mm:
@@ -262,6 +263,12 @@ class NuScenesSCN(NuScenesBase):
         out_dict["lidar_path"] = lidar_path
         out_dict["scan_pth"] = lidar_path
         out_dict["img_indices"] = out_dict["img_indices"][idxs]
+        if self.with_depth_label:
+            from mopa_tpu.data.utils.depth_label import dense_depth_label
+
+            out_dict["depth_label"] = dense_depth_label(
+                out_dict["img"].shape[:2], out_dict["img_indices"],
+                points[idxs])
 
         if ps_data is not None:
             ps_label_2d = refine_pseudo_labels(

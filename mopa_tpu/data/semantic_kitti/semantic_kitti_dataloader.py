@@ -168,7 +168,7 @@ class SemanticKITTISCN(SemanticKITTIBase):
                  g_indices_dir=None, sam_mask_dir=None, ema_input=False,
                  backbone="SCN", proj_W=1024, proj_H=64, fov_up=0.05235,
                  fov_down=-0.43633, rng=None, preprocess_dir="",
-                 semantic_kitti_dir="", cat_type=""):
+                 semantic_kitti_dir="", cat_type="", with_depth_label=False):
         super().__init__(split, root_dir, merge_classes=merge_classes,
                          ps_label_dir=ps_label_dir, use_pc_mm=use_pc_mm,
                          obj_name_ls=obj_name_ls, obj_root_dir=obj_root_dir,
@@ -189,6 +189,7 @@ class SemanticKITTISCN(SemanticKITTIBase):
         self.proj_W, self.proj_H = proj_W, proj_H
         self.fov_up, self.fov_down = fov_up, fov_down
         self.ema_input = ema_input
+        self.with_depth_label = with_depth_label
         self.rng = rng or np.random.default_rng()
 
     # ----- loading -----
@@ -410,6 +411,11 @@ class SemanticKITTISCN(SemanticKITTIBase):
             out_dict["proj_xy"] = proj_xy
         out_dict["seg_label"] = seg_label[idxs]
         out_dict["img_indices"] = out_dict["img_indices"][idxs]
+        if self.with_depth_label:
+            from mopa_tpu.data.utils.depth_label import dense_depth_label
+
+            out_dict["depth_label"] = dense_depth_label(
+                image.shape[:2], out_dict["img_indices"], points[idxs])
         out_dict["lidar_path"] = data_dict["lidar_path"]
         out_dict["scan_pth"] = data_dict["scan_pth"]
 

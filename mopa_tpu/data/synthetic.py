@@ -26,7 +26,7 @@ class SyntheticSCN:
                  with_vgi=False, with_ema=False, sam_mask_budget=16,
                  multi_objs=False, n_objs=3, backbone="SCN", proj_W=256,
                  proj_H=32, fov_up=0.05235, fov_down=-0.43633, seed=0,
-                 rng=None, **_unused):
+                 with_depth_label=False, learnable=False, rng=None, **_unused):
         self.length = length
         self.n_points = n_points
         self.image_size = tuple(image_size)  # (W, H)
@@ -45,6 +45,12 @@ class SyntheticSCN:
         self.with_vgi = with_vgi
         self.with_ema = with_ema
         self.sam_mask_budget = sam_mask_budget
+        self.with_depth_label = with_depth_label
+        # learnable mode (convergence gate): box class determines box height
+        # (3D-learnable geometry) and point pixels are painted with a
+        # class-specific colour (2D-learnable appearance), so a trained model
+        # must reach high validate() mIoU on FRESH scans from the same rule
+        self.learnable = learnable
         self.multi_objs = multi_objs
         self.n_objs = n_objs
         self.backbone = backbone
@@ -66,18 +72,25 @@ class SyntheticSCN:
         pts = [np.stack([gx, gy, gz], 1)]
         labs = [glab]
         remaining = n - n_ground
+        box_classes = [c for c in range(self.num_classes) if c != 4]
         while remaining > 0:
             m = min(remaining, int(rng.integers(64, 512)))
             cx = rng.uniform(4, 45)
             cy = cx * rng.uniform(-0.4, 0.4)
-            sx, sy, sz = rng.uniform(0.5, 4, 3)
+            if self.learnable:
+                c = int(rng.choice(box_classes))
+                sx, sy = rng.uniform(0.5, 4, 2)
+                sz = 0.3 + 0.3 * c  # height encodes the class
+            else:
+                c = int(rng.integers(0, self.num_classes))
+                sx, sy, sz = rng.uniform(0.5, 4, 3)
             p = np.stack([
                 cx + rng.uniform(-sx, sx, m),
                 cy + rng.uniform(-sy, sy, m),
                 rng.uniform(-1.7, -1.7 + 2 * sz, m),
             ], 1)
             pts.append(p)
-            labs.append(np.full(m, int(rng.integers(0, self.num_classes))))
+            labs.append(np.full(m, c))
             remaining -= m
         points = np.concatenate(pts).astype(np.float32)
         labels = np.concatenate(labs).astype(np.int64)
@@ -123,6 +136,17 @@ class SyntheticSCN:
         img_indices[:, 0] = np.clip(img_indices[:, 0], 0, h - 1)
         img_indices[:, 1] = np.clip(img_indices[:, 1], 0, w - 1)
 
+        if self.learnable:
+            # paint class colours at point pixels (before the fliplr below,
+            # which transforms image and indices consistently; the EMA
+            # ori_img copy then inherits the paint at its unflipped indices)
+            palette = (np.arange(1, self.num_classes + 1)[:, None]
+                       * np.asarray([[0.09, 0.17, 0.05]])) % 1.0
+            image[img_indices[:, 0], img_indices[:, 1]] = (
+                0.8 * palette[labels] + 0.2
+                * image[img_indices[:, 0], img_indices[:, 1]]).astype(
+                np.float32)
+
         if self.with_ema:
             out["ori_img"] = image.copy()
             ori_points_img = img_indices.copy()
@@ -148,6 +172,12 @@ class SyntheticSCN:
             "lidar_path": "synthetic/{:06d}.bin".format(index),
             "scan_pth": "synthetic/{:06d}.bin".format(index),
         })
+        if self.with_depth_label:
+            from mopa_tpu.data.utils.depth_label import dense_depth_label
+
+            out["depth_label"] = dense_depth_label(
+                (h, w), img_indices[idxs], points[idxs])
+
         if self.backbone.upper().startswith("SPVCNN"):
             # xyz + intensity features (reference a2d2_dataloader.py:289-311)
             inten = rng.uniform(0, 1, (int(idxs.sum()), 1)).astype(np.float32)

@@ -1,6 +1,9 @@
-"""Multi-head attention blocks (reference ``mopa/models/attention.py:10-79``
-keeps these unused in the training path; provided for inventory parity and
-reused by the JAX SAM image encoder)."""
+"""Multi-head attention blocks — inventory-parity dead code.
+
+The reference (``mopa/models/attention.py:10-79``) ships these but never
+imports them from any train/test path; this port mirrors that surface.
+Nothing in this repo uses them either (``models/sam.py`` defines its own
+windowed/decoder attention)."""
 
 from __future__ import annotations
 

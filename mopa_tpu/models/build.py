@@ -21,6 +21,7 @@ def build_model_2d(cfg, output_all=None):
         output_all=output_all,
         compute_dtype=_compute_dtype(cfg),
         pretrained=cfg.MODEL_2D.get(cfg.MODEL_2D.TYPE, {}).get("pretrained", True),
+        depth_pred=bool(cfg.TRAIN.get("DEPTH_PRED", False)),
     )
     train_metric = SegIoU(cfg.MODEL_2D.NUM_CLASSES, name="seg_iou_2d")
     return model, train_metric

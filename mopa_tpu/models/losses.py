@@ -250,6 +250,60 @@ def dan_loss(source: jax.Array, target: jax.Array, kernel_mul=2.0,
     return loss1 + loss2
 
 
+@jax.custom_vjp
+def _grad_reverse(x, coeff):
+    return x
+
+
+def _grad_reverse_fwd(x, coeff):
+    return x, coeff
+
+
+def _grad_reverse_bwd(coeff, g):
+    return (-coeff * g, None)
+
+
+_grad_reverse.defvjp(_grad_reverse_fwd, _grad_reverse_bwd)
+
+
+def grad_reverse(x: jax.Array, coeff: float = 1.0) -> jax.Array:
+    """Gradient reversal layer: identity forward, ``-coeff * g`` backward
+    (the reference's ``grl_hook`` at ``mopa/models/losses.py:88-92``)."""
+    return _grad_reverse(x, coeff)
+
+
+def cdan_loss(feature: jax.Array, softmax_output: jax.Array, ad_net_apply,
+              dm_label: float, entropy: jax.Array | None = None,
+              coeff: float = 1.0) -> jax.Array:
+    """Conditional Domain Adversarial loss (reference
+    ``mopa/models/losses.py:95-120``; defined there but never called by any
+    shipped train script — ported for capability parity).
+
+    ``ad_net_apply`` maps the (N, C*F) multilinear conditioning of features
+    by detached softmax predictions to (N,) or (N, 1) sigmoid domain
+    probabilities. ``dm_label`` is the adversarial domain target. With
+    ``entropy``, examples are entropy-weighted (first half = source, second
+    half = target, each half normalised), and the entropy tensor's gradient
+    is reversed with ``coeff`` (GRL hook).
+    """
+    softmax_output = jax.lax.stop_gradient(softmax_output)
+    n = feature.shape[0]
+    op_out = (softmax_output[:, :, None] * feature[:, None, :]).reshape(n, -1)
+    ad_out = jnp.clip(jnp.reshape(ad_net_apply(op_out), (-1,)), 1e-7, 1 - 1e-7)
+    target = jnp.full_like(ad_out, float(dm_label))
+    bce = -(target * jnp.log(ad_out) + (1 - target) * jnp.log(1 - ad_out))
+    if entropy is None:
+        return jnp.mean(bce)
+    entropy = grad_reverse(entropy, coeff)
+    w = 1.0 + jnp.exp(-entropy)
+    is_src = jnp.arange(n) < n // 2
+    sw = jnp.where(is_src, w, 0.0)
+    tw = jnp.where(is_src, 0.0, w)
+    weight = (sw / jax.lax.stop_gradient(jnp.sum(sw))
+              + tw / jax.lax.stop_gradient(jnp.sum(tw)))
+    return jnp.sum(weight * bce) / jax.lax.stop_gradient(jnp.sum(weight))
+
+
 def supcon_loss(labels_anchor: jax.Array, anchor_feature: jax.Array,
                 contrast_feature: jax.Array, labels_contrast: jax.Array,
                 temperature: float = 0.1) -> jax.Array:

@@ -165,6 +165,70 @@ class TConvStage(nn.Module):
         return nn.relu(x)
 
 
+class BottleneckPad(nn.Module):
+    """Dilated bottleneck residual block (reference
+    ``mopa/models/resnet34_unet.py:10-49``): 1x1 -> 3x3 (dilated) -> 1x1 x4
+    with BN after each conv and an optional 1x1+BN downsample on the skip."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+    n_domains: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        nd = self.n_domains
+        residual = x
+        y = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = DomainBatchNorm(n_domains=nd, name="bn1")(y, not train)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), padding=self.dilation,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = DomainBatchNorm(n_domains=nd, name="bn2")(y, not train)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = DomainBatchNorm(n_domains=nd, name="bn3")(y, not train)
+        if self.downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = DomainBatchNorm(n_domains=nd,
+                                       name="downsample_bn")(residual,
+                                                             not train)
+        return nn.relu(y + residual)
+
+
+class InitialTaskPredictionModule(nn.Module):
+    """Depth-prediction head (reference ``resnet34_unet.py:52-80``): two
+    BottleneckPad blocks then a 1x1 conv to one channel. The reference ships
+    this but never wires it (``UNetResNet34.__init__`` has no ``depth_pred``
+    arg and ``Net2DSeg`` never emits ``depth_pred``; the TRAIN.DEPTH_PRED
+    hook at ``train_xmuda_mopa.py:405-410`` would KeyError). This rebuild
+    wires the *intended* path end-to-end behind the same config flag."""
+
+    intermediate_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+    n_domains: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        inter = self.intermediate_channels
+        need_ds = x.shape[-1] != inter
+        x = BottleneckPad(inter // 4, downsample=need_ds, dtype=self.dtype,
+                          n_domains=self.n_domains, name="bottleneck1")(
+            x, train)
+        x = BottleneckPad(inter // 4, downsample=False, dtype=self.dtype,
+                          n_domains=self.n_domains, name="bottleneck2")(
+            x, train)
+        return nn.Conv(1, (1, 1), name="conv_out")(x.astype(jnp.float32))
+
+
 class UNetResNet34(nn.Module):
     """Full-resolution 64-channel feature UNet (NHWC)."""
 
@@ -172,6 +236,7 @@ class UNetResNet34(nn.Module):
     dropout_rate: float = 0.4
     dtype: jnp.dtype = jnp.float32
     n_domains: int = 1
+    depth_pred: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -232,4 +297,8 @@ class UNetResNet34(nn.Module):
 
         if pad_h or pad_w:
             x = x[:, :h, :w, :]
+        if self.depth_pred:
+            depth = InitialTaskPredictionModule(
+                dtype=self.dtype, n_domains=nd, name="depth_head")(x, train)
+            return x, depth
         return x

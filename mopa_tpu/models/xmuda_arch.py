@@ -33,6 +33,7 @@ class Net2DSeg(nn.Module):
     output_all: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     pretrained: bool = True
+    depth_pred: bool = False
 
     @nn.compact
     def __call__(self, img, img_indices, point_valid, train: bool = False,
@@ -52,12 +53,15 @@ class Net2DSeg(nn.Module):
             raise NotImplementedError(
                 "2D backbone {} not supported".format(self.backbone_2d))
         x = UNetResNet34(pretrained=self.pretrained, dtype=self.compute_dtype,
-                         n_domains=n_domains, name="net_2d")(img, train=train)
+                         n_domains=n_domains, depth_pred=self.depth_pred,
+                         name="net_2d")(img, train=train)
         # lift in the compute dtype: the lifting backward is a scatter-add of
         # (B*P, 64) rows into the dense map — f32 doubles its traffic
 
         head = nn.Dense(self.num_classes, name="linear")
         preds = {}
+        if self.depth_pred:
+            x, preds["depth_pred"] = x  # (B, H, W, 1) dense depth
         if self.output_all:
             preds["seg_logit_all"] = head(x.astype(jnp.float32))
 

@@ -64,7 +64,8 @@ def _box_sum(sat, s, ext):
 
 def vgi_insert_sample(points, pvalid, ps_label, g_mask, objs, ovalid,
                       obj_labels, proj_matrix, img_size, rng, *, voxel_size,
-                      search_range, z_min, front_axis_x):
+                      search_range, z_min, front_axis_x,
+                      insert_mode="ground", fv_z_disc=-0.324, debug=False):
     """Place K candidate objects into one scan. All shapes static.
 
     Multi-object semantics follow the reference's "ground" insert mode
@@ -96,6 +97,33 @@ def vgi_insert_sample(points, pvalid, ps_label, g_mask, objs, ovalid,
         objs = objs[None]
         ovalid = ovalid[None]
         obj_labels = jnp.asarray(obj_labels).reshape(1)
+
+    if insert_mode == "fv":
+        # Front-view mirror insertion (reference ``mixmatch_ss.py:83-105``):
+        # no collision / ground / frustum checks — every non-empty object is
+        # inserted; z shifts by -z_disc (sensor-height alignment) and objects
+        # whose centroid lies behind the sensor (x < 0) are mirrored to the
+        # front by right-multiplying with Rz(2*theta), theta = angle of the
+        # centroid from the +y axis (arccos(cy / |cxy|)).
+        shifted_z = objs[:, :, 2] - fv_z_disc
+        om = jnp.where(ovalid[:, :, None], objs[:, :, :3], 0.0)
+        cnt = jnp.maximum(jnp.sum(ovalid.astype(jnp.float32), axis=1), 1.0)
+        ctr = jnp.sum(om, axis=1) / cnt[:, None]                  # (K, 3)
+        r = jnp.sqrt(ctr[:, 0] ** 2 + ctr[:, 1] ** 2)
+        theta = jnp.arccos(jnp.clip(
+            ctr[:, 1] / jnp.maximum(r, 1e-9), -1.0, 1.0))
+        c2, s2 = jnp.cos(2.0 * theta), jnp.sin(2.0 * theta)
+        x, y = objs[:, :, 0], objs[:, :, 1]
+        # row-vector right-multiplication: [x y] @ [[c, -s], [s, c]]
+        xr = x * c2[:, None] + y * s2[:, None]
+        yr = -x * s2[:, None] + y * c2[:, None]
+        mirror = (ctr[:, 0] < 0)[:, None]
+        new_obj = jnp.stack([jnp.where(mirror, xr, x),
+                             jnp.where(mirror, yr, y), shifted_z], axis=-1)
+        inserted = jnp.sum(ovalid, axis=1) > 0
+        if single:
+            return {"new_obj": new_obj[0], "inserted": inserted[0]}
+        return {"new_obj": new_obj, "inserted": inserted}
 
     vs = voxel_size
     sx = int(search_range[0] / vs)
@@ -206,16 +234,24 @@ def vgi_insert_sample(points, pvalid, ps_label, g_mask, objs, ovalid,
         ori_range = jnp.sqrt(obj_center[0] ** 2 + obj_center[1] ** 2)
         valid = valid & (jnp.sqrt(cx ** 2 + cy ** 2) >= ori_range)
 
-        # condition 3: ground support
-        valid = valid & (gground > 0)
+        # condition 3: ground support at the CENTER voxel — the reference
+        # intersects floor(center/vs) with ground voxels (obj_on_road
+        # :394-401), not the box start corner
+        cgx = (jnp.floor(qx / vs) - off[0]).astype(jnp.int32)
+        cgy = (jnp.floor(qy / vs) - off[1]).astype(jnp.int32)
+        in_grid = ((cgx >= 0) & (cgx < gx_dim)
+                   & (cgy >= 0) & (cgy < gy_dim))
+        cgx_c = jnp.clip(cgx, 0, gx_dim - 1)
+        cgy_c = jnp.clip(cgy, 0, gy_dim - 1)
+        valid = valid & in_grid & (gground[cgx_c, cgy_c] > 0)
 
         extent_diag = jnp.sqrt((omax_m[0] - omin_m[0]) ** 2
                                + (omax_m[1] - omin_m[1]) ** 2)
         return (valid, qx, qy, extent_diag, obj_center, omin_m[2], ori_range,
-                ext_xy)
+                ext_xy, cgx_c, cgy_c)
 
     (valid_k, qx_k, qy_k, extent_k, center_k, ominz_k, orange_k,
-     extvox_k) = jax.vmap(obj_valid_cells)(objs, ovalid)
+     extvox_k, cgx_k, cgy_k) = jax.vmap(obj_valid_cells)(objs, ovalid)
 
     nonempty_k = jnp.sum(ovalid, axis=1) > 0
     has_valid_k = jnp.any(valid_k, axis=(1, 2)) & nonempty_k
@@ -270,7 +306,11 @@ def vgi_insert_sample(points, pvalid, ps_label, g_mask, objs, ovalid,
 
     new_cx = anchor_qx[px, py]
     new_cy = anchor_qy[px, py]
-    road_z = jnp.where(jnp.isfinite(zmin_cell[px, py]), zmin_cell[px, py],
+    # road height at the CENTER voxel's (x, y) column (reference obj_on_road
+    # :434-446 reads the matched ground voxel at new_center)
+    ccx = cgx_k[anchor][px, py]
+    ccy = cgy_k[anchor][px, py]
+    road_z = jnp.where(jnp.isfinite(zmin_cell[ccx, ccy]), zmin_cell[ccx, ccy],
                        z_min)
 
     # cylinder-coordinate translation per object (reference :417-451)
@@ -293,9 +333,14 @@ def vgi_insert_sample(points, pvalid, ps_label, g_mask, objs, ovalid,
         jnp.stack([zero, zero, one], -1)], -2)  # (K, 3, 3)
     # FIRST translate THEN rotate (reference :448-451)
     new_obj = jnp.einsum("kod,krd->kor", objs[:, :, :3] + t[:, None], rot)
+    out = {"new_obj": new_obj, "inserted": inserted}
+    if debug:  # candidate internals for equivalence tests (static flag)
+        out.update(valid_cells=valid_k, qx=qx_k, qy=qy_k,
+                   anchor=anchor, road_z=road_z)
     if single:
-        return {"new_obj": new_obj[0], "inserted": inserted[0]}
-    return {"new_obj": new_obj, "inserted": inserted}
+        return {k: v[0] if k not in ("anchor",) else v
+                for k, v in out.items()}
+    return out
 
 
 def vgi_insert_batch(cfg, batch_trg: Dict, pl_3d, rng) -> Dict:
@@ -352,7 +397,11 @@ def vgi_insert_batch(cfg, batch_trg: Dict, pl_3d, rng) -> Dict:
             voxel_size=float(pc_mm.search_voxel_size),
             search_range=tuple(pc_mm.search_range),
             z_min=float(pc_mm.search_z_min),
-            front_axis_x=front_axis_x)
+            front_axis_x=front_axis_x,
+            insert_mode=str(pc_mm.get("insert_mode", "ground")),
+            # point_mixmatch's z_disc default (reference mixmatch_ss.py:47 —
+            # the train loop never forwards TRAIN.PC_MM.z_disc)
+            fv_z_disc=-0.324)
     )(points, pvalid, scan_label, g_mask, obj, ovalid, obj_label, proj,
       img_size, sample_keys)
 

@@ -219,6 +219,11 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
     with_minent = lam.lambda_minent > 0
     with_sam = with_mopa and pc_mm.lambda_sam_cons > 0
     with_vgi = with_mopa and pc_mm.lambda_pc_mm > 0
+    # depth auxiliary task (reference train hook at train_xmuda_mopa.py:405-410
+    # / train_xmuda.py:259-264: RMSE on the dense source depth prediction)
+    with_depth = bool(cfg.TRAIN.get("DEPTH_PRED", False))
+    lambda_dp_src = (float(cfg.TRAIN.DEPTH_PRED_COE.lambda_dp_src)
+                     if "DEPTH_PRED_COE" in cfg.TRAIN else 0.0)
     mask_budget = int(cfg.TPU.SAM_MASK_BUDGET)
     ema_alpha = float(pc_mm.ema_alpha_teacher)
     ema_xm_prob = float(pc_mm.ema_xm_prob)
@@ -235,7 +240,22 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
 
     def ema_teacher_labels(state, batch_trg, rng):
         """EMA pseudo-label regeneration on unaugmented inputs
-        (reference :264-335), fully on device."""
+        (reference :264-335), fully on device.
+
+        PARITY NOTE — teacher image inputs: the reference feeds each
+        FULL-RESOLUTION uncropped ``ori_img`` one sample at a time
+        (train_xmuda_mopa.py:267-274, bs=1 loops); here the teacher sees the
+        batched fixed-size ``ori_img`` tensors the loader emits. For
+        nuScenes the loader resize (400, 225) applies to ori images in both
+        frameworks, so inputs are identical. For KITTI the reference's
+        teacher sees the full ~1242x375 frame while the student crops to
+        (480, 302); this rebuild feeds the teacher the same padded crop
+        geometry — teacher logits at the cropped points differ only through
+        2D context outside the crop (BN uses running stats in eval mode, so
+        the difference is limited to conv receptive fields crossing the crop
+        border, <=16 px after /16 padding). Documented in README parity
+        notes; the ps-label refinement thresholds are per-class medians, so
+        small logit shifts change labels only near the confidence cutoff."""
         b, p = batch_trg["ori_img_indices"].shape[:2]
         ori_valid = batch_trg["ori_point_valid"]
         plan = build_plan_from_batch(cfg, batch_trg["ori_coords"],
@@ -373,6 +393,13 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
             metrics["xm_loss_src_2d"] = xm_src_2d
             metrics["xm_loss_src_3d"] = xm_src_3d
             total = total + lam.lambda_xm_src * (xm_src_2d + xm_src_3d)
+
+        if with_depth:
+            dp_src = out2d["depth_pred"][:b].astype(jnp.float32)
+            depth_loss = jnp.sqrt(jnp.mean(jnp.square(
+                dp_src - batch_src["depth_label"])))
+            metrics["depth_pred_loss"] = depth_loss
+            total = total + lambda_dp_src * depth_loss
 
         metrics["cm_src_2d"] = confusion_matrix(src_2d["seg_logit"],
                                                 seg_label_src, src_valid,

@@ -131,6 +131,55 @@ def test_logcoral_runs_and_symmetric_zero():
     assert v > 0
 
 
+def test_cdan_matches_torch_formula():
+    """cdan_loss vs a torch port of reference mopa/models/losses.py:95-120
+    (linear ad-net, both unweighted and entropy-weighted variants)."""
+    rng = np.random.default_rng(7)
+    n, c, f = 16, 5, 12
+    feature = rng.normal(size=(n, f)).astype(np.float32)
+    probs = rng.dirichlet(np.ones(c), size=n).astype(np.float32)
+    w_ad = rng.normal(size=(c * f, 1)).astype(np.float32) * 0.2
+    entropy = rng.uniform(0.1, 2.0, size=(n,)).astype(np.float32)
+
+    def ad_net_jax(x):
+        return jax.nn.sigmoid(x @ jnp.asarray(w_ad))
+
+    got = float(losses.cdan_loss(jnp.asarray(feature), jnp.asarray(probs),
+                                 ad_net_jax, 1.0))
+    got_w = float(losses.cdan_loss(jnp.asarray(feature), jnp.asarray(probs),
+                                   ad_net_jax, 1.0,
+                                   entropy=jnp.asarray(entropy)))
+
+    # torch reference formula
+    tf = torch.from_numpy(feature)
+    tp = torch.from_numpy(probs)
+    op_out = torch.bmm(tp.unsqueeze(2), tf.unsqueeze(1)).view(n, c * f)
+    ad_out = torch.sigmoid(op_out @ torch.from_numpy(w_ad)).view(-1)
+    target = torch.ones(n)
+    bce = F.binary_cross_entropy(ad_out, target, reduction="none")
+    want = float(bce.mean())
+    ent = torch.from_numpy(entropy)
+    wgt = 1.0 + torch.exp(-ent)
+    sw = wgt.clone(); sw[n // 2:] = 0
+    tw = wgt.clone(); tw[:n // 2] = 0
+    weight = sw / sw.sum() + tw / tw.sum()
+    want_w = float((weight * bce).sum() / weight.sum())
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(got_w, want_w, rtol=1e-5)
+
+    # GRL: identity forward, -coeff * g backward
+    x = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(losses.grad_reverse(x, 2.0)),
+                               np.asarray(x))
+    g = jax.grad(lambda v: jnp.sum(losses.grad_reverse(v, 2.0)))(x)
+    np.testing.assert_allclose(np.asarray(g), -2.0 * np.ones(8))
+    # entropy-weighted cdan grad w.r.t. entropy stays finite through the GRL
+    ge = jax.grad(lambda e: losses.cdan_loss(
+        jnp.asarray(feature), jnp.asarray(probs), ad_net_jax, 1.0,
+        entropy=e, coeff=2.0))(jnp.asarray(entropy))
+    assert np.all(np.isfinite(np.asarray(ge)))
+
+
 def test_confusion_matrix_matches_numpy():
     from mopa_tpu.models.metric import confusion_matrix, SegIoU
 

@@ -101,11 +101,14 @@ def test_vgi_insert_sample_places_on_ground():
         front_axis_x=True))(jax.random.PRNGKey(0))
     assert bool(out["inserted"])
     new_obj = np.asarray(out["new_obj"])
-    # object stays object-shaped (rigid transform): extents preserved
+    # object stays object-shaped: the transform is rigid (translation +
+    # z-rotation), so pairwise distances are preserved exactly (axis-aligned
+    # extents are NOT rotation-invariant, so compare distances instead)
+    d_old = np.linalg.norm(obj[None, :50, :3] - obj[:50, None, :3], axis=-1)
+    d_new = np.linalg.norm(new_obj[None, :50] - new_obj[:50, None], axis=-1)
+    np.testing.assert_allclose(d_new, d_old, atol=1e-3)
     ext_old = obj[:, :3].max(0) - obj[:, :3].min(0)
     ext_new = new_obj.max(0) - new_obj.min(0)
-    np.testing.assert_allclose(np.linalg.norm(ext_old[:2]),
-                               np.linalg.norm(ext_new[:2]), rtol=0.05)
     np.testing.assert_allclose(ext_old[2], ext_new[2], rtol=1e-3)
     # placed near the ground plane and farther than the original
     assert new_obj[:, 2].min() > -1.9 and new_obj[:, 2].min() < -1.4
@@ -278,3 +281,182 @@ def test_vgi_batch_multi_object_layout():
         assert set(np.unique(lab[:, p:p + o][sel0])) <= {2}
     if sel1.any():
         assert set(np.unique(lab[:, p + o:][sel1])) <= {3}
+
+
+def test_vgi_fv_insert_mode_matches_reference_formula():
+    """insert_mode='fv' vs a numpy port of reference mixmatch_ss.py:83-105:
+    z shift by -z_disc, Rz(2*theta) mirror for objects behind the sensor."""
+    rng = np.random.default_rng(9)
+    n, m, k = 500, 60, 3
+    pts4 = np.concatenate([rng.uniform(-20, 20, (n, 3)),
+                           np.ones((n, 1))], 1).astype(np.float32)
+    objs = np.zeros((k, m, 4), np.float32)
+    # one object clearly behind (x < 0), one in front, one straddling behind
+    centers = [(-8.0, 3.0), (6.0, -2.0), (-4.0, -5.0)]
+    for i, (cx, cy) in enumerate(centers):
+        objs[i, :, 0] = cx + rng.uniform(-0.5, 0.5, m)
+        objs[i, :, 1] = cy + rng.uniform(-0.5, 0.5, m)
+        objs[i, :, 2] = rng.uniform(-1.7, -0.3, m)
+        objs[i, :, 3] = 1.0
+    ovalid = np.ones((k, m), bool)
+    proj = np.array([[300, 0, 240, 0], [0, 300, 150, 0], [0, 0, 1, 0]],
+                    np.float32)
+    img_size = np.array([480, 302], np.int32)
+    z_disc = -0.324
+
+    out = jax.jit(lambda key: mixmatch.vgi_insert_sample(
+        jnp.asarray(pts4), jnp.ones(n, bool), jnp.full(n, -100, jnp.int32),
+        jnp.ones(n, bool), jnp.asarray(objs), jnp.asarray(ovalid),
+        jnp.asarray([3, 3, 3]), jnp.asarray(proj), jnp.asarray(img_size), key,
+        voxel_size=0.5, search_range=(25.0, 25.0), z_min=-2.0,
+        front_axis_x=True, insert_mode="fv",
+        fv_z_disc=z_disc))(jax.random.PRNGKey(1))
+    assert np.asarray(out["inserted"]).all()
+    got = np.asarray(out["new_obj"])
+
+    # numpy port of the reference branch
+    for i in range(k):
+        obj_pc = objs[i].copy()
+        obj_pc[:, 2] = obj_pc[:, 2] - z_disc
+        ctr = np.average(obj_pc, axis=0)
+        if ctr[0] < 0:
+            th = np.arccos(ctr[1] / np.sqrt(ctr[0] ** 2 + ctr[1] ** 2))
+            rot = np.array([[np.cos(2 * th), -np.sin(2 * th), 0],
+                            [np.sin(2 * th), np.cos(2 * th), 0],
+                            [0, 0, 1]], np.float32)
+            obj_pc[:, :3] = obj_pc[:, :3].dot(rot)
+        np.testing.assert_allclose(got[i], obj_pc[:, :3], rtol=1e-4, atol=1e-4)
+
+
+def _ref_valid_center_voxels(points, obj, g_pts, proj, img_w, img_h,
+                             vs=0.5, srange=(25.0, 25.0), z_min=-2.0):
+    """Numpy port of the reference valid-center pipeline: check_overlap
+    (mixmatch_ss.py:215-331, F.conv3d == 0 over the occupancy grid),
+    point_mixmatch conditions 1-2 (:143-160) and obj_on_road's ground
+    intersection (:394-401). Returns the set of (x, y) center voxels."""
+    sx, sy = int(srange[0] / vs), int(srange[1] / vs)
+    zmin_v = int(np.floor(z_min / vs))
+    pvox = np.unique(np.floor(points / vs), axis=0)
+    ovox = np.floor(obj / vs)
+    omin, omax = ovox.min(0), ovox.max(0)
+    ext = (omax - omin + 1).astype(int)
+    kx = ky = int(np.ceil(np.sqrt(ext[0] ** 2 + ext[1] ** 2)))
+    kz = int(ext[2])
+    gz = int((omax[2] - omin[2] + 2))  # grid z size (= kz + 1 -> 2 z starts)
+    grid = np.zeros((2 * sx, 2 * sy, gz))
+    off = np.array([0, -sy, zmin_v])
+    keep = ((pvox[:, 0] >= 0) & (pvox[:, 0] < 2 * sx)
+            & (pvox[:, 1] >= -sy) & (pvox[:, 1] < sy)
+            & (pvox[:, 2] >= zmin_v) & (pvox[:, 2] < gz + zmin_v))
+    iv = (pvox[keep] - off).astype(int)
+    grid[iv[:, 0], iv[:, 1], iv[:, 2]] = 1
+    # ground voxel (x, y) columns
+    gvox = np.unique(np.floor(g_pts / vs), axis=0)
+    g_xy = set(map(tuple, gvox[:, :2].astype(int)))
+    obj_center = (obj.max(0) + obj.min(0)) / 2
+    ori_range = np.hypot(obj_center[0], obj_center[1])
+
+    out = set()
+    csum = np.cumsum(np.cumsum(np.cumsum(grid, 0), 1), 2)
+    csum = np.pad(csum, ((1, 0), (1, 0), (1, 0)))
+    for xs in range(2 * sx - kx + 1):
+        for ys in range(2 * sy - ky + 1):
+            for zs in range(gz - kz + 1):
+                s = (csum[xs + kx, ys + ky, zs + kz]
+                     - csum[xs, ys + ky, zs + kz] - csum[xs + kx, ys, zs + kz]
+                     - csum[xs + kx, ys + ky, zs] + csum[xs, ys, zs + kz]
+                     + csum[xs, ys + ky, zs] + csum[xs + kx, ys, zs]
+                     - csum[xs, ys, zs])
+                if s != 0:
+                    continue
+                cx = (xs + (kx - 1) / 2 + off[0]) * vs
+                cy = (ys + (ky - 1) / 2 + off[1]) * vs
+                cz = (zs + (kz - 1) / 2 + off[2]) * vs
+                if cx <= 0:                        # condition 1a: front half
+                    continue
+                uvw = proj @ np.array([cx, cy, cz, 1.0])
+                if uvw[2] <= 0:
+                    continue
+                u, v = uvw[0] / uvw[2], uvw[1] / uvw[2]
+                if not (0 < u < img_w and 0 < v < img_h):  # 1b: frustum
+                    continue
+                if np.hypot(cx, cy) < ori_range:   # condition 2: farther
+                    continue
+                cvx, cvy = int(np.floor(cx / vs)), int(np.floor(cy / vs))
+                if (cvx, cvy) not in g_xy:         # condition 3: on ground
+                    continue
+                out.add((cvx, cvy))
+    return out
+
+
+def _vgi_scene(kind, rng):
+    """Small scan geometries for the VGI equivalence test."""
+    n_g = 3000
+    gx = rng.uniform(0.5, 45, n_g)
+    gy = rng.uniform(-20, 20, n_g)
+    if kind == "flat":
+        gz = np.full(n_g, -1.7)
+    elif kind == "sloped":
+        gz = -1.7 + 0.02 * gx
+    else:  # corridor: flat ground, obstacle walls added below
+        gz = np.full(n_g, -1.7)
+    ground = np.stack([gx, gy, gz], 1)
+    obstacles = []
+    if kind == "corridor":
+        for wy in (-6.0, 6.0):
+            m = 800
+            obstacles.append(np.stack([
+                rng.uniform(2, 40, m), wy + rng.uniform(-0.4, 0.4, m),
+                rng.uniform(-1.7, 1.0, m)], 1))
+    else:
+        for _ in range(6):
+            m = 300
+            cx, cy = rng.uniform(5, 35), rng.uniform(-15, 15)
+            obstacles.append(np.stack([
+                cx + rng.uniform(-1, 1, m), cy + rng.uniform(-1, 1, m),
+                rng.uniform(-1.7, 0.0, m)], 1))
+    pts = np.concatenate([ground] + obstacles).astype(np.float32)
+    g_mask = np.zeros(len(pts), bool)
+    g_mask[:n_g] = True
+    return pts, g_mask
+
+
+def test_vgi_valid_center_set_matches_reference_algorithm():
+    """The SAT-based candidate grid must produce EXACTLY the reference's
+    valid-center voxel set (conv3d==0 semantics + conditions 1-3) on several
+    scan geometries — including the 2-z-start window, which the reference's
+    conv output also has (grid z size = obj extent + 2, kernel = extent + 1
+    -> output z dim exactly 2; mixmatch_ss.py:258-262,315)."""
+    rng = np.random.default_rng(21)
+    m = 150
+    obj = np.stack([6 + rng.uniform(-0.8, 0.8, m),
+                    2 + rng.uniform(-0.6, 0.6, m),
+                    rng.uniform(-1.6, -0.4, m)], 1).astype(np.float32)
+    proj = np.array([[300, 0, 240, 0], [0, 300, 150, 0], [0, 0, 1, 0]],
+                    np.float32)
+    basis = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0],
+                      [0, 0, 0, 1]], np.float32)
+    proj = proj @ basis
+    img_size = np.array([480, 302], np.int32)
+
+    for kind in ("flat", "corridor", "sloped"):
+        pts, g_mask = _vgi_scene(kind, rng)
+        pts4 = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], 1)
+        out = jax.jit(lambda k, p4, gm: mixmatch.vgi_insert_sample(
+            p4, jnp.ones(len(pts), bool), jnp.full(len(pts), -100, jnp.int32),
+            gm, jnp.asarray(obj[None]),
+            jnp.ones((1, m), bool), jnp.asarray([3]), jnp.asarray(proj),
+            jnp.asarray(img_size), k, voxel_size=0.5,
+            search_range=(25.0, 25.0), z_min=-2.0, front_axis_x=True,
+            debug=True))(jax.random.PRNGKey(0), jnp.asarray(pts4),
+                         jnp.asarray(g_mask))
+        valid = np.asarray(out["valid_cells"][0])
+        qx = np.asarray(out["qx"][0])
+        qy = np.asarray(out["qy"][0])
+        got = {(int(np.floor(x / 0.5)), int(np.floor(y / 0.5)))
+               for x, y, v in zip(qx.ravel(), qy.ravel(), valid.ravel()) if v}
+        want = _ref_valid_center_voxels(pts, obj, pts[g_mask], proj,
+                                        480, 302)
+        assert got == want, (kind, len(got), len(want),
+                             sorted(got - want)[:5], sorted(want - got)[:5])
+        assert len(want) > 10, (kind, len(want))  # non-trivial scene

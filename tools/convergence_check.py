@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Synthetic end-to-end convergence gate.
+
+Trains the full MoPA recipe (xM KL + pseudo-labels + SAM consistency + VGI,
+through the EMA phase switch) on the LEARNABLE synthetic dataset — box class
+encoded in box height (3D) and point-pixel colour (2D) — then evaluates
+through the real ``validate()`` path on FRESH val scans and asserts mIoU
+above a gate. Catches sign/masking/LR-schedule bugs that a 2-step
+loss-decreases check cannot (the reference's only "test" is mIoU vs its
+README table, ``/root/reference/README.md:64-104``).
+
+Run:  python tools/convergence_check.py            (TPU, ~5 min)
+      JAX_PLATFORMS=cpu python tools/convergence_check.py   (CPU, slower)
+
+Exits non-zero if the gate fails; prints one JSON line with the metrics.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+GATE_2D = 0.70
+GATE_XM = 0.70
+
+
+def main():
+    from mopa_tpu.common.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import logging
+
+    from mopa_tpu.config.xmuda import cfg
+    from mopa_tpu.train.common import train
+
+    c = cfg.clone()
+    c.merge_from_file(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "../configs/synthetic/mopa_smoke.yaml"))
+    n_iter = int(os.environ.get("CONV_ITERS", 300))
+    for d in (c.DATASET_SOURCE.SyntheticSCN, c.DATASET_TARGET.SyntheticSCN):
+        d.learnable = True
+        d.length = 32
+        d.n_points = 2048
+        d.image_size = (128, 96)
+    c.SCHEDULER.MAX_ITERATION = n_iter
+    c.SCHEDULER.MultiStepLR.milestones = (int(n_iter * 0.8),)
+    c.TRAIN.BATCH_SIZE = 4
+    c.VAL.BATCH_SIZE = 4
+    c.VAL.PERIOD = n_iter
+    c.TRAIN.LOG_PERIOD = 50
+    c.TRAIN.CHECKPOINT_PERIOD = 0
+    c.TRAIN.PC_MM.ema_start_iter = int(n_iter * 0.7)  # through the EMA switch
+    c.TPU.POINT_BUDGET = 1024
+    c.RNG_SEED = 7
+    c.OUTPUT_DIR = ""
+    c.freeze()
+
+    logger = logging.getLogger("mopa_tpu.convergence")
+    logging.basicConfig(level=logging.INFO)
+    _, eval_dict = train(c, logger, output_dir="", run_name="convergence")
+
+    ious = {name: float(ev.overall_iou)
+            for name, ev in eval_dict.items()} if eval_dict else {}
+    result = {"iters": n_iter, "miou": ious,
+              "gate": {"2d": GATE_2D, "xM": GATE_XM}}
+    ok = ious.get("2d", 0.0) >= GATE_2D and ious.get("xM", 0.0) >= GATE_XM
+    result["pass"] = bool(ok)
+    print(json.dumps(result))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
