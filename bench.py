@@ -7,12 +7,19 @@ VGI insertion + third 3D forward, both optimizers — on synthetic scans with
 SemanticKITTI-like shapes (A2D2->KITTI config geometry: batch 8, 16k-point
 budget, 302x480 images, m=16 / 7-level sparse UNet), and prints one JSON line.
 
-``vs_baseline`` compares against the reference implementation's estimated
-single-GPU throughput (REF_GPU_SCANS_PER_SEC below): the reference publishes
-no throughput numbers (SURVEY §6), so the baseline is the published training
-recipe's implied rate (100k iters x batch 8 over a multi-day single-GPU run,
-VGI insertion timed on host per iteration). Update when a measured number
-exists.
+Measurement modes, both reported:
+  * ``value``      — device-resident batches (pure step throughput).
+  * ``value_e2e``  — batches stream through ``build_dataloader`` (synthetic
+    dataset, threaded prefetch, configured NUM_WORKERS), so the host input
+    pipeline is inside the measurement (reference ``data_time`` meter,
+    ``mopa/train/train_xmuda_mopa.py:594-595``).
+
+Honest-baseline note: the reference publishes NO throughput numbers anywhere
+(SURVEY §6 / BASELINE.md) — ``baseline`` in the JSON is an ESTIMATE of the
+reference's single-GPU rate implied by its training recipe, and
+``vs_baseline`` divides by that estimate. ``mfu`` and ``flops_per_scan``
+come from XLA's compiled cost analysis (an analytic fallback if the backend
+does not expose it) against the chip's advertised bf16 peak.
 """
 
 import json
@@ -24,7 +31,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-REF_GPU_SCANS_PER_SEC = 4.0  # estimated reference single-GPU rate (see above)
+REF_GPU_SCANS_PER_SEC = 4.0  # ESTIMATE — see module docstring
+# TPU v5e advertised bf16 peak (override with BENCH_PEAK_FLOPS for other chips)
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+
+
+def _step_flops(step, state, src, trg):
+    """Per-step FLOPs from XLA's compiled cost analysis (None if unavailable)."""
+    try:
+        compiled = step.lower(state, src, trg).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 def main():
@@ -51,12 +73,14 @@ def main():
     for d in (c.DATASET_SOURCE.SyntheticSCN, c.DATASET_TARGET.SyntheticSCN):
         d.n_points = 24000
         d.image_size = (480, 302)
-        d.length = 8
+        d.length = 64
     c.DATALOADER.NUM_WORKERS = 4
 
     models, _ = trainer_mod.build_models(c, output_all=True)
-    src = device_batch(next(iter(build_dataloader(c, "train", "source"))))
-    trg = device_batch(next(iter(build_dataloader(c, "train", "target"))))
+    src_loader = build_dataloader(c, "train", "source")
+    trg_loader = build_dataloader(c, "train", "target")
+    src = device_batch(next(iter(src_loader)))
+    trg = device_batch(next(iter(trg_loader)))
     state = trainer_mod.create_train_state(c, models, src)
 
     # NOTE: on the axon backend block_until_ready resolves at schedule time,
@@ -72,9 +96,26 @@ def main():
         _ = float(np.asarray(metrics["total_loss"]))
         return n_iters * c.TRAIN.BATCH_SIZE / (time.time() - t0), state
 
+    def measure_e2e(step, state, n_iters):
+        """Stream fresh batches through the real input pipeline (threaded
+        prefetch + collate), overlapping host loading with device compute."""
+        src_it = iter(src_loader)
+        trg_it = iter(trg_loader)
+        state, metrics = step(state, device_batch(next(src_it)),
+                              device_batch(next(trg_it)))
+        _ = float(np.asarray(metrics["total_loss"]))
+        t0 = time.time()
+        for _ in range(n_iters):
+            state, metrics = step(state, device_batch(next(src_it)),
+                                  device_batch(next(trg_it)))
+        _ = float(np.asarray(metrics["total_loss"]))
+        return n_iters * c.TRAIN.BATCH_SIZE / (time.time() - t0), state
+
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
     step = trainer_mod.make_train_step(c, models, with_pl=True, with_ema=False)
+    flops_per_step = _step_flops(step, state, src, trg)
     scans_per_sec, state = measure(step, state, n_iters)
+    e2e_scans_per_sec, state = measure_e2e(step, state, n_iters)
 
     # EMA phase (reference iterations >= ema_start_iter: 2 extra teacher
     # forwards + on-device refine + a second plan build; the last 30-40k of
@@ -90,9 +131,21 @@ def main():
         "value": round(scans_per_sec, 3),
         "unit": "scans/s/chip",
         "vs_baseline": round(scans_per_sec / REF_GPU_SCANS_PER_SEC, 3),
+        "baseline": {
+            "value": REF_GPU_SCANS_PER_SEC,
+            "unit": "scans/s",
+            "provenance": ("ESTIMATE of the reference single-GPU rate; the "
+                           "reference publishes no throughput (SURVEY §6)"),
+        },
+        "value_e2e": round(e2e_scans_per_sec, 3),
         "value_ema_phase": round(ema_scans_per_sec, 3),
         "value_weighted_100k": round(weighted, 3),
     }
+    if flops_per_step:
+        flops_per_scan = flops_per_step / c.TRAIN.BATCH_SIZE
+        result["flops_per_scan"] = round(flops_per_scan, 1)
+        result["mfu"] = round(scans_per_sec * flops_per_scan / PEAK_FLOPS, 5)
+        result["mfu_peak_flops_assumed"] = PEAK_FLOPS
     print(json.dumps(result))
 
 

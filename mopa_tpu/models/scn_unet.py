@@ -42,13 +42,19 @@ class LevelPlan(NamedTuple):
     f2c: jax.Array | None        # (V_{l-1},) fine->coarse map (None at l=0)
     up_off: jax.Array | None     # (V_{l-1},) kernel-offset idx for deconv
     dom: jax.Array | None = None  # (V_l,) BN-domain id (fused multi-forward)
-    # wide-column plan (preferred; 2.4x cheaper gathers — sparse_conv.WidePlan)
-    ranks: jax.Array | None = None  # (V_l, 9)
-    sel: jax.Array | None = None    # (V_l, 9, 3)
+    # wide-column plans. Preferred: the z-dense form (ranks into a z-padded
+    # slot table + p2a active-slot map — sparse_conv.ZPlan; window reads are
+    # dz-aligned by construction). Legacy: (ranks, sel) — sparse_conv.WidePlan.
+    ranks: jax.Array | None = None  # (V_l * 9,)
+    sel: jax.Array | None = None    # (V_l * 9,) packed dz codes (legacy only)
+    p2a: jax.Array | None = None    # (Vp_l,) z-dense only
 
 
 def apply_submanifold(x, lv: LevelPlan, weight):
     """Submanifold conv through whichever plan form the level carries."""
+    if lv.p2a is not None:
+        return sc.submanifold_conv_zdense(x, sc.ZPlan(lv.ranks, lv.p2a),
+                                          weight)
     if lv.ranks is not None:
         return sc.submanifold_conv_wide(x, sc.WidePlan(lv.ranks, lv.sel),
                                         weight)
@@ -115,10 +121,13 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
         pending = (None, None, None)
         for l in range(num_levels):
             nums.append(prev.num)
-            # exact neighbour merge (sorts batch well under vmap), then
-            # (ranks, sel) derived elementwise — no gathers anywhere
-            wide = sc.build_wide_plan(prev)
-            levels.append((wide.ranks, wide.sel, prev.valid_mask(),
+            # exact neighbour merge (sorts batch well under vmap), then the
+            # z-dense plan: a 5-stream union sort pads the table so window
+            # reads need no dz realignment at conv time
+            nbr = sc.build_submanifold_plan(prev)
+            pz = voxel_ops.build_padded_ztable(prev, 5 * prev.capacity)
+            zp = sc.zplan_from_nbr(nbr, pz)
+            levels.append((zp.ranks, zp.p2a, prev.valid_mask(),
                            pending[0], pending[1], pending[2]))
             if l + 1 < num_levels:
                 coarse, f2c = voxel_ops.downsample_coords(prev,
@@ -142,16 +151,21 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
         out = jnp.where(arr >= 0, arr + off, sentinel_to)
         return out.reshape((s * arr.shape[1],) + arr.shape[2:])
 
+    def offset_ranks(arr, vp):
+        """(S, V*9) padded-slot ranks -> flat global ranks. Per-sample
+        sentinel (== vp) maps to the GLOBAL sentinel S*vp (the appended zero
+        rows), never into another sample's block."""
+        off = (jnp.arange(s, dtype=jnp.int32) * vp).reshape(s, 1)
+        out = jnp.where(arr < vp, arr + off, s * vp)
+        return out.reshape(-1)
+
     levels = []
     for l in range(num_levels):
-        ranks_b, sel_b, valid_l, down_b, f2c_b, up_b = levels_b[l]
+        ranks_b, p2a_b, valid_l, down_b, f2c_b, up_b = levels_b[l]
         dom = None
         if sample_domains is not None:
             dom = jnp.repeat(jnp.asarray(sample_domains, jnp.int32),
                              capacities[l])
-        # ranks are table positions; the all-miss sentinel (== capacity)
-        # lands on the next sample's first row after offsetting — harmless,
-        # its sel rows are already 3 (invalid)
         levels.append(LevelPlan(
             nbr=None,
             valid=valid_l.reshape(-1),
@@ -161,8 +175,9 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
                  if f2c_b is not None else None),
             up_off=(up_b.reshape(-1) if up_b is not None else None),
             dom=dom,
-            ranks=offset_flat(ranks_b, capacities[l]),
-            sel=sel_b.reshape(-1),
+            ranks=offset_ranks(ranks_b, 5 * capacities[l]),
+            sel=None,
+            p2a=offset_flat(p2a_b, capacities[l]),
         ))
     return UNetPlan(levels=tuple(levels),
                     point_inverse=offset_flat(inverse_b, capacities[0]),
@@ -240,15 +255,35 @@ def concat_plans(plans: Sequence[UNetPlan]) -> UNetPlan:
             up = jnp.concatenate([x.up_off for x in lv])
         dom = (jnp.concatenate([x.dom for x in lv])
                if lv[0].dom is not None else None)
+        if lv[0].p2a is not None:
+            # z-dense: ranks live in padded-slot space (per-plan sentinel ==
+            # that plan's padded size, mapped to the joint sentinel); p2a
+            # values live in active-slot space
+            vps = [x.p2a.shape[0] for x in lv]
+            total_vp = sum(vps)
+            r_parts, p_parts = [], []
+            off_vp = off_cap = 0
+            for x, vp_i, cap_i in zip(lv, vps, caps):
+                r_parts.append(jnp.where(x.ranks < vp_i, x.ranks + off_vp,
+                                         total_vp))
+                p_parts.append(jnp.where(x.p2a >= 0, x.p2a + off_cap, -1))
+                off_vp += vp_i
+                off_cap += cap_i
+            ranks = jnp.concatenate(r_parts)
+            p2a = jnp.concatenate(p_parts)
+        else:
+            ranks = (shifted([x.ranks for x in lv], caps)
+                     if lv[0].ranks is not None else None)
+            p2a = None
         levels.append(LevelPlan(
             nbr=(shifted([x.nbr for x in lv], caps)
                  if lv[0].nbr is not None else None),
             valid=jnp.concatenate([x.valid for x in lv]),
             down_nbr=down, f2c=f2c, up_off=up, dom=dom,
-            ranks=(shifted([x.ranks for x in lv], caps)
-                   if lv[0].ranks is not None else None),
+            ranks=ranks,
             sel=(jnp.concatenate([x.sel for x in lv])
-                 if lv[0].sel is not None else None)))
+                 if lv[0].sel is not None else None),
+            p2a=p2a))
     cap0 = [p.levels[0].valid.shape[0] for p in plans]
     return UNetPlan(
         levels=tuple(levels),

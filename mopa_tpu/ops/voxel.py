@@ -225,6 +225,49 @@ def merge_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
     return jnp.where(q_valid, out, -1)
 
 
+def merge_lookup_presorted(table: "VoxelTable", q_hi: jax.Array,
+                           q_lo: jax.Array, q_valid: jax.Array) -> jax.Array:
+    """Exact-match lookup for a query stream that is ALREADY SORTED by
+    (hi, lo) — e.g. the table's own keys plus a constant offset (adding a
+    packed offset ``dx*SHIFT^2 + dy*SHIFT + dz`` is monotone, so a sorted
+    table's shifted keys stay sorted; PAD slots keep PAD keys and stay at the
+    tail).
+
+    Why a separate entry point: the 27-offset neighbour build used to run as
+    ONE merge sort of table + 13V queries; decomposed per offset the sorts
+    are 2V streams that stay VMEM-resident — measured 2.1x faster on v5e
+    (27.6 ms vs 57.9 ms for the monolithic sort at V=16k, S=8; a hand-rolled
+    bitonic-merge network that exploits the sortedness outright measured
+    *slower* than ``lax.sort`` — 159-215 ms — XLA's fused sort beats
+    stage-by-stage elementwise networks). Per-stream sortedness also buys the
+    cheap hit rule below.
+
+    Requirements: table keys unique (guaranteed by ``voxelize``); query keys
+    unique wherever valid (guaranteed for constant-shift streams of a unique
+    table). Returns (Q,) int32 slots, -1 on miss.
+    """
+    v = table.capacity
+    q = q_hi.shape[0]
+    hi = jnp.concatenate([table.key_hi, q_hi])
+    lo = jnp.concatenate([table.key_lo, q_lo])
+    src = jnp.concatenate([
+        jnp.arange(v, dtype=jnp.int32),
+        jnp.arange(v, v + q, dtype=jnp.int32)])
+    # stable sort on 2 keys: equal keys keep concat order => table-first
+    hi, lo, src = jax.lax.sort((hi, lo, src), num_keys=2, is_stable=True)
+    # keys are unique per stream, so a query hits iff its immediate
+    # predecessor is a table entry with the same key
+    p_hi = jnp.concatenate([jnp.full((1,), -1, jnp.int32), hi[:-1]])
+    p_lo = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lo[:-1]])
+    p_src = jnp.concatenate([jnp.full((1,), v, jnp.int32), src[:-1]])
+    is_q = src >= v
+    hit = is_q & (p_src < v) & (p_hi == hi) & (p_lo == lo)
+    out_idx = jnp.where(is_q, src - v, q)  # dump slot q for table entries
+    out = jnp.full((q + 1,), -1, jnp.int32).at[out_idx].set(
+        jnp.where(hit, p_src, -1))[:q]
+    return jnp.where(q_valid, out, -1)
+
+
 def rank_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
                 q_valid: jax.Array) -> jax.Array:
     """Lower-bound rank of each query key among the table's sorted keys:
@@ -250,6 +293,88 @@ def rank_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
     ranks = jnp.zeros((q + 1,), jnp.int32).at[out_idx].set(
         jnp.where(is_q, tcount, 0))[:q]
     return jnp.where(q_valid, ranks, v)
+
+
+class PaddedZTable(NamedTuple):
+    """z-window padding of a :class:`VoxelTable`: the sorted union of the
+    table's keys shifted by dz in [-pad, pad].
+
+    Guarantee (pad >= 2): for every active voxel (x, y, z) and every
+    neighbouring column (x', y'), if ANY of (x', y', z-1..z+1) is active then
+    the keys (x', y', z-1), (x', y', z), (x', y', z+1) are all present as
+    CONSECUTIVE slots here — so a 3-wide window read starting at the slot of
+    (x', y', z-1) is dz-aligned by construction, and the per-window dz
+    permutation of the wide-column conv plan disappears.
+
+    Attributes:
+        p2a: (Vp,) int32 — active-table slot stored at each padded slot, or
+            -1 for padding-only / empty slots (their features read as zero).
+        a2p: (V,)  int32 — padded slot of each active-table slot (undefined
+            in inactive table slots).
+        num: ()    int32 — number of live padded slots (<= Vp).
+    """
+
+    p2a: jax.Array
+    a2p: jax.Array
+    num: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.p2a.shape[0]
+
+
+def build_padded_ztable(table: VoxelTable, capacity: int,
+                        pad: int = 2) -> PaddedZTable:
+    """Sorted-union dedup of the table's keys shifted by dz in [-pad, pad].
+
+    Each shifted stream is already sorted (constant key offset), so one
+    (2*pad+1)-stream stable sort + run-boundary dedup builds the union; the
+    rank of each un-shifted (dz=0) key in the deduped union is ``a2p``.
+    ``capacity = (2*pad+1) * V`` is overflow-free.
+
+    Keys here use a ROOMIER private packing — ``lo = y*(SHIFT+4*pad) +
+    (z+2*pad)`` — so z-border shifts (z=0 is common: clouds are shifted to
+    the positive octant) stay distinct slots instead of wrapping into a
+    neighbouring column; out-of-range z slots are padding-only (zero
+    features), which is exactly their conv semantics.
+    """
+    v = table.capacity
+    k = 2 * pad + 1
+    zbase = SHIFT + 4 * pad
+    valid = table.valid_mask()
+    dzs = jnp.arange(-pad, pad + 1, dtype=jnp.int32)
+    base_lo = (table.coords[:, 1].astype(jnp.int32) * zbase
+               + table.coords[:, 2] + 2 * pad)
+    hi = jnp.broadcast_to(jnp.where(valid, table.key_hi, PAD_HI)[None, :],
+                          (k, v)).reshape(-1)
+    lo = jnp.where(valid[None, :], base_lo[None, :] + dzs[:, None],
+                   PAD_HI).reshape(-1)
+    # tag: stream index * v + slot; the dz=0 stream's slots recover a2p
+    src = (jnp.arange(k, dtype=jnp.int32)[:, None] * v
+           + jnp.arange(v, dtype=jnp.int32)[None, :]).reshape(-1)
+    s_hi, s_lo, s_src = jax.lax.sort((hi, lo, src), num_keys=2,
+                                     is_stable=True)
+    live = s_hi != PAD_HI
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1])]) & live
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1        # padded slot per row
+    vp = int(capacity)
+    in_cap = (slot >= 0) & (slot < vp) & live
+    num = jnp.minimum(jnp.sum(first.astype(jnp.int32)), vp)
+
+    # p2a: rows of the dz=0 stream that are active map their padded slot to
+    # their table slot (keys are unique, so at most one per padded slot)
+    stream = s_src // v
+    tslot = s_src % v
+    is_active = (stream == pad) & in_cap
+    put = jnp.where(is_active, slot, vp)
+    p2a = jnp.full((vp + 1,), -1, jnp.int32).at[put].set(tslot)[:vp]
+    # a2p: scatter padded slot back to the table slot
+    put_a = jnp.where(is_active, tslot, v)
+    a2p = jnp.full((v + 1,), vp, jnp.int32).at[put_a].set(
+        jnp.where(in_cap, slot, vp))[:v]
+    return PaddedZTable(p2a=p2a, a2p=a2p, num=num)
 
 
 def _hash32(hi: jax.Array, lo: jax.Array) -> jax.Array:

@@ -230,3 +230,53 @@ def test_batched_plan_matches_monolithic_unet_outputs():
                                atol=1e-4)
     np.testing.assert_allclose(o_stitched[pv], o_mono[pv], rtol=1e-4,
                                atol=1e-4)
+
+
+def test_merge_lookup_presorted_matches_merge_lookup():
+    """merge_lookup_presorted (per-offset shifted-key merge) must agree with
+    merge_lookup for constant-shift query streams, including coordinate
+    border wraps (masked) and PAD tails."""
+    from mopa_tpu.ops import sparse_conv as sc
+
+    rng = np.random.default_rng(11)
+    offs_np = sc.kernel_offsets(3)
+    for trial, (lo, hi) in enumerate([(0, 24), (0, 4), (4090, 4096)]):
+        n = 512
+        coords = rng.integers(lo, hi, size=(n, 3)).astype(np.int32)
+        pvalid = rng.random(n) > 0.15
+        table, _, _ = voxel.voxelize(jnp.asarray(coords),
+                                     jnp.zeros(n, jnp.int32),
+                                     jnp.asarray(pvalid), capacity=n)
+        valid = np.asarray(table.valid_mask())
+        for j in (0, 4, 12):  # a dx offset, a dy offset, the dz offset
+            dx, dy, dz = (int(v) for v in offs_np[j])
+            q_hi = np.where(valid, np.asarray(table.key_hi) + dx,
+                            np.asarray(voxel.PAD_HI))
+            q_lo = np.where(valid, np.asarray(table.key_lo)
+                            + dy * voxel.SHIFT + dz, np.asarray(voxel.PAD_HI))
+            qc = np.asarray(table.coords) + offs_np[j]
+            q_valid = valid & np.all((qc >= 0) & (qc < voxel.SHIFT), axis=-1)
+            got = np.asarray(voxel.merge_lookup_presorted(
+                table, jnp.asarray(q_hi), jnp.asarray(q_lo),
+                jnp.asarray(q_valid)))
+            # reference: the exact-match merge on packed query coords
+            qb = np.asarray(table.batch)
+            ref_hi, ref_lo = voxel.pack_keys(jnp.asarray(qc), jnp.asarray(qb),
+                                             jnp.asarray(q_valid))
+            want = np.asarray(voxel.merge_lookup(table, ref_hi, ref_lo,
+                                                 jnp.asarray(q_valid)))
+            np.testing.assert_array_equal(got, want, err_msg=f"{trial}/{j}")
+
+
+def test_build_submanifold_plan_presorted_method_matches_default():
+    from mopa_tpu.ops import sparse_conv as sc
+
+    rng = np.random.default_rng(12)
+    n = 1024
+    coords = rng.integers(0, 20, size=(n, 3)).astype(np.int32)
+    pvalid = rng.random(n) > 0.1
+    table, _, _ = voxel.voxelize(jnp.asarray(coords), jnp.zeros(n, jnp.int32),
+                                 jnp.asarray(pvalid), capacity=n)
+    a = np.asarray(sc.build_submanifold_plan(table))
+    b = np.asarray(sc.build_submanifold_plan(table, method="presorted"))
+    np.testing.assert_array_equal(a, b)
