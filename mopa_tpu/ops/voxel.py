@@ -173,6 +173,15 @@ def merge_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
                  q_valid: jax.Array) -> jax.Array:
     """Batch exact-match lookup via one sort-merge — TPU-friendly.
 
+    See :func:`merge_lookup_keys` (this is the VoxelTable-facing wrapper).
+    """
+    return merge_lookup_keys(table.key_hi, table.key_lo, q_hi, q_lo, q_valid)
+
+
+def merge_lookup_keys(t_hi: jax.Array, t_lo: jax.Array, q_hi: jax.Array,
+                      q_lo: jax.Array, q_valid: jax.Array) -> jax.Array:
+    """Batch exact-match lookup via one sort-merge — TPU-friendly.
+
     Per-query binary search costs hundreds of ms on TPU (sequential loop of
     scalar-ish gathers); instead, sort the concatenation of table keys
     (tag 0) and query keys (tag 1) by (hi, lo, tag) and propagate each
@@ -182,12 +191,12 @@ def merge_lookup(table: "VoxelTable", q_hi: jax.Array, q_lo: jax.Array,
 
     Returns (Q,) int32 table slots, -1 on miss/invalid.
     """
-    v = table.capacity
+    v = t_hi.shape[0]
     q = q_hi.shape[0]
     # invalid queries get PAD keys; they may collide with table padding slots,
     # so mask them out of the scatter below.
-    hi = jnp.concatenate([table.key_hi, q_hi])
-    lo = jnp.concatenate([table.key_lo, q_lo])
+    hi = jnp.concatenate([t_hi, q_hi])
+    lo = jnp.concatenate([t_lo, q_lo])
     # One combined source index doubles as the table/query tag: table rows get
     # [0, v), queries [v, v + q). Sorting it as the third KEY orders equal-key
     # runs table-first (table indices < v <= any query index) — one operand
@@ -310,13 +319,20 @@ class PaddedZTable(NamedTuple):
         p2a: (Vp,) int32 — active-table slot stored at each padded slot, or
             -1 for padding-only / empty slots (their features read as zero).
         a2p: (V,)  int32 — padded slot of each active-table slot (undefined
-            in inactive table slots).
+            in inactive table slots). Only in :func:`build_padded_ztable`'s
+            output (the nbr-derivation path); None from
+            :func:`build_padded_ztable_keys`.
         num: ()    int32 — number of live padded slots (<= Vp).
+        key_hi / key_lo: (Vp,) compacted sorted keys in the PRIVATE packing
+            (``lo = y*(SHIFT+4*pad) + z + 2*pad``), PAD_HI at dead slots.
+            Only from :func:`build_padded_ztable_keys`; None otherwise.
     """
 
     p2a: jax.Array
-    a2p: jax.Array
+    a2p: jax.Array | None
     num: jax.Array
+    key_hi: jax.Array | None = None
+    key_lo: jax.Array | None = None
 
     @property
     def capacity(self) -> int:
@@ -363,18 +379,85 @@ def build_padded_ztable(table: VoxelTable, capacity: int,
     in_cap = (slot >= 0) & (slot < vp) & live
     num = jnp.minimum(jnp.sum(first.astype(jnp.int32)), vp)
 
-    # p2a: rows of the dz=0 stream that are active map their padded slot to
-    # their table slot (keys are unique, so at most one per padded slot)
+    # Scatter-free readouts (TPU scatters under vmap measured ruinous):
+    # a2p — the dz=0 stream's rows appear in table order within the sorted
+    # union (valid table slots are a compact prefix), so one compaction sort
+    # keyed by table slot reads them out in place.
     stream = s_src // v
     tslot = s_src % v
-    is_active = (stream == pad) & in_cap
-    put = jnp.where(is_active, slot, vp)
-    p2a = jnp.full((vp + 1,), -1, jnp.int32).at[put].set(tslot)[:vp]
-    # a2p: scatter padded slot back to the table slot
-    put_a = jnp.where(is_active, tslot, v)
-    a2p = jnp.full((v + 1,), vp, jnp.int32).at[put_a].set(
-        jnp.where(in_cap, slot, vp))[:v]
+    is_active = (stream == pad) & live
+    key_a = jnp.where(is_active, tslot, v)
+    val_a = jnp.where(is_active & in_cap, slot, vp)
+    _, a2p_full = jax.lax.sort((key_a, val_a), num_keys=1, is_stable=True)
+    a2p = a2p_full[:v]
+    # p2a — a2p is strictly increasing on valid slots with a vp tail, so its
+    # partial inverse is a verified searchsorted (no scatter).
+    t_cand = jnp.searchsorted(a2p, jnp.arange(vp, dtype=jnp.int32),
+                              side="left", method="sort").astype(jnp.int32)
+    t_safe = jnp.clip(t_cand, 0, v - 1)
+    p2a = jnp.where(a2p[t_safe] == jnp.arange(vp, dtype=jnp.int32),
+                    t_safe, -1)
     return PaddedZTable(p2a=p2a, a2p=a2p, num=num)
+
+
+def build_padded_ztable_keys(table: VoxelTable, capacity: int,
+                             pad: int = 2) -> PaddedZTable:
+    """Like :func:`build_padded_ztable` but emits the COMPACTED padded key
+    arrays instead of ``a2p``, with a cheaper readout: one union sort, a
+    suffix-max over (<= 2*pad+1)-row runs, and ONE head-compaction sort that
+    carries (active-slot, key) payloads — no searchsorted, no per-neighbour
+    gathers. Feeds :func:`mopa_tpu.ops.sparse_conv.build_zplan`, which ranks
+    window starts by merging column queries against these keys directly.
+    """
+    v = table.capacity
+    k = 2 * pad + 1
+    zbase = SHIFT + 4 * pad
+    valid = table.valid_mask()
+    dzs = jnp.arange(-pad, pad + 1, dtype=jnp.int32)
+    base_lo = (table.coords[:, 1].astype(jnp.int32) * zbase
+               + table.coords[:, 2] + 2 * pad)
+    hi = jnp.broadcast_to(jnp.where(valid, table.key_hi, PAD_HI)[None, :],
+                          (k, v)).reshape(-1)
+    lo = jnp.where(valid[None, :], base_lo[None, :] + dzs[:, None],
+                   PAD_HI).reshape(-1)
+    src = (jnp.arange(k, dtype=jnp.int32)[:, None] * v
+           + jnp.arange(v, dtype=jnp.int32)[None, :]).reshape(-1)
+    s_hi, s_lo, s_src = jax.lax.sort((hi, lo, src), num_keys=2,
+                                     is_stable=True)
+    live = s_hi != PAD_HI
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1])]) & live
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1
+    vp = int(capacity)
+    num = jnp.minimum(jnp.sum(first.astype(jnp.int32)), vp)
+
+    # suffix-max of the run's (unique) active table slot toward the run head;
+    # runs are <= k rows, so shifts of 1, 2, 4 with same-key guards cover it
+    stream = s_src // v
+    tslot = s_src % v
+    val = jnp.where(stream == pad, tslot, -1)
+    n = val.shape[0]
+    for d in (1, 2, 4):
+        same = jnp.concatenate([
+            (s_hi[d:] == s_hi[:-d]) & (s_lo[d:] == s_lo[:-d]),
+            jnp.zeros((d,), bool)])
+        nxt = jnp.concatenate([val[d:], jnp.full((d,), -1, jnp.int32)])
+        val = jnp.maximum(val, jnp.where(same, nxt, -1))
+
+    # head compaction: one stable sort keyed by padded slot puts run i's
+    # (active-slot, key) payloads at output position i
+    key_h = jnp.where(first, slot, jnp.int32(n))
+    _, p2a_raw, pk_hi_raw, pk_lo_raw = jax.lax.sort(
+        (key_h, val, s_hi, s_lo), num_keys=1, is_stable=True)
+    pos = jnp.arange(vp, dtype=jnp.int32)
+    in_num = pos < num
+    return PaddedZTable(
+        p2a=jnp.where(in_num, p2a_raw[:vp], -1),
+        a2p=None,
+        num=num,
+        key_hi=jnp.where(in_num, pk_hi_raw[:vp], PAD_HI),
+        key_lo=jnp.where(in_num, pk_lo_raw[:vp], PAD_HI))
 
 
 def _hash32(hi: jax.Array, lo: jax.Array) -> jax.Array:

@@ -65,6 +65,8 @@ def build_plan_from_batch(cfg, coords, batch_idx, valid_flat,
     (vmapped) sort per level — per-sample sorts stay VMEM-resident, an order
     of magnitude cheaper than the monolithic 14V-key merge sorts — and
     stitched into the same flat layout."""
+    caps = _capacities(cfg, int(sample_size) if sample_size else
+                       coords.shape[0])
     if sample_size is not None:
         s = coords.shape[0] // int(sample_size)
         doms = None
@@ -73,9 +75,19 @@ def build_plan_from_batch(cfg, coords, batch_idx, valid_flat,
         return build_unet_plan_batched(
             coords.reshape(s, int(sample_size), 3),
             valid_flat.reshape(s, int(sample_size)), _num_levels(cfg),
-            sample_domains=doms)
+            capacities=caps, sample_domains=doms)
     return build_unet_plan(coords, batch_idx, valid_flat, _num_levels(cfg),
-                           batch_domains=batch_domains)
+                           capacities=caps, batch_domains=batch_domains)
+
+
+def _capacities(cfg, n_points):
+    """Per-level capacities; TPU.CAP_FACTORS overrides the built-in
+    LiDAR-measured schedule."""
+    from mopa_tpu.models.scn_unet import capacity_schedule
+
+    factors = tuple(cfg.TPU.get("CAP_FACTORS", ())) if "TPU" in cfg else ()
+    return capacity_schedule(n_points, _num_levels(cfg),
+                             factors=factors or None)
 
 
 class Models(NamedTuple):
@@ -492,12 +504,14 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
             st_doms = np.repeat(np.arange(2, dtype=np.int32), b)
             plan = build_unet_plan_batched(st_coords, st_valid,
                                            _num_levels(cfg),
+                                           capacities=_capacities(cfg, p),
                                            sample_domains=st_doms)
             if cat is not None:
                 n_cat = cat["valid"].shape[0] // b
                 cat_plan = build_unet_plan_batched(
                     cat["coords"].reshape(b, n_cat, 3),
                     cat["valid"].reshape(b, n_cat), _num_levels(cfg),
+                    capacities=_capacities(cfg, n_cat),
                     sample_domains=np.full(b, 2, np.int32))
                 plan = concat_plans([plan, cat_plan])
 

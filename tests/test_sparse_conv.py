@@ -356,3 +356,42 @@ def test_wide_conv_matches_exact_conv_and_grads():
     np.testing.assert_allclose(o2[mask], o1[mask], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(gf2[mask], gf1[mask], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(gw2, gw1, rtol=1e-3, atol=1e-4)
+
+
+def test_zdense_conv_matches_exact_neighbour_conv():
+    """submanifold_conv_zdense (z-padded window tables, no dz realignment)
+    must match the exact neighbour-map conv in values AND gradients,
+    including z-border scenes (z=0 is common after the positive-octant
+    shift) and sparse tables with padding slots."""
+    from mopa_tpu.ops import voxel as V
+    from mopa_tpu.ops import sparse_conv as SC
+
+    rng = np.random.default_rng(5)
+    for lo, hi, n in [(0, 12, 600), (0, 3, 300), (4090, 4096, 300)]:
+        coords = rng.integers(lo, hi, size=(n, 3)).astype(np.int32)
+        pvalid = rng.random(n) > 0.2
+        table, _, _ = V.voxelize(jnp.asarray(coords), jnp.zeros(n, jnp.int32),
+                                 jnp.asarray(pvalid), capacity=n)
+        cin, cout = 4, 6
+        feats = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32)
+                        * 0.2)
+        nbr = SC.build_submanifold_plan(table)
+        ref = SC.submanifold_conv(feats, nbr, w)
+        pz = V.build_padded_ztable(table, 5 * n)
+        zp = SC.zplan_from_nbr(nbr, pz)
+        got = SC.submanifold_conv_zdense(feats, zp, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        gz = jax.grad(lambda f, ww: jnp.sum(
+            SC.submanifold_conv_zdense(f, zp, ww) ** 2), argnums=(0, 1))(
+            feats, w)
+        gr = jax.grad(lambda f, ww: jnp.sum(
+            SC.submanifold_conv(f, nbr, ww) ** 2), argnums=(0, 1))(feats, w)
+        vmask = np.asarray(table.valid_mask())
+        np.testing.assert_allclose(np.asarray(gz[0])[vmask],
+                                   np.asarray(gr[0])[vmask],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gz[1]), np.asarray(gr[1]),
+                                   rtol=1e-4, atol=1e-4)
