@@ -61,11 +61,12 @@ class DataLoader:
 
     def __init__(self, dataset, batch_sampler, point_budget, mask_budget=64,
                  num_workers=0, prefetch=PREFETCH, process_index=None,
-                 process_count=None):
+                 process_count=None, sort_points=False):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.point_budget = point_budget
         self.mask_budget = mask_budget
+        self.sort_points = sort_points
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
         self.process_index = process_index
@@ -90,7 +91,8 @@ class DataLoader:
         else:
             samples = [self.dataset[i] for i in indices]
         return collate_padded(samples, self.point_budget,
-                              mask_budget=self.mask_budget)
+                              mask_budget=self.mask_budget,
+                              sort_points=self.sort_points)
 
     def __iter__(self):
         if self.num_workers <= 0:
@@ -192,6 +194,12 @@ def build_dataloader(cfg, mode="train", domain="source", start_iteration=0,
                    for i in range(n_batches)]
 
     mask_budget = int(cfg.TPU.SAM_MASK_BUDGET) if "TPU" in cfg else 64
+    # train batches arrive voxel-key-sorted so device plan builds skip their
+    # input sort (TPU.PRESORTED_POINTS); eval keeps dataset order for the
+    # pseudo-label writer
+    presort = is_train and bool(cfg.TPU.get("PRESORTED_POINTS", True)) \
+        if "TPU" in cfg else is_train
     return DataLoader(dataset, sampler, point_budget_for(cfg, dataset_cfg.TYPE),
                       mask_budget=mask_budget,
-                      num_workers=cfg.DATALOADER.NUM_WORKERS)
+                      num_workers=cfg.DATALOADER.NUM_WORKERS,
+                      sort_points=presort)

@@ -54,10 +54,54 @@ def remap_mask_ids(mask: np.ndarray, budget: int) -> np.ndarray:
     return out
 
 
+_POINT_KEYS = ("coords", "feats", "seg_label", "img_indices",
+               "pseudo_label_2d", "pseudo_label_3d", "proj_xy", "points_xyz",
+               "ema_map")
+_ORI_KEYS = ("ori_coords", "ori_feats", "ori_img_indices")
+
+
+def _lexkey(coords):
+    c = np.asarray(coords, np.int64)
+    return (c[:, 0] * 4096 + c[:, 1]) * 4096 + c[:, 2]
+
+
+def _sort_sample_points(s: Dict) -> Dict:
+    """Reorder one sample's per-point arrays by the packed voxel key.
+
+    Lets the device-side ``voxelize`` skip its input sort (the dominant cost
+    of level-0 table builds): the host lexsort runs on the otherwise-idle
+    CPU, overlapped with device compute. Pure permutation — voxel tables,
+    losses and metrics are point-order-free. The EMA original set gets its
+    own permutation, and ``ema_map`` values are remapped through it."""
+    s = dict(s)
+    perm = np.argsort(_lexkey(s["coords"]), kind="stable")
+    for k in _POINT_KEYS:
+        if k in s:
+            s[k] = np.asarray(s[k])[perm]
+    if "ori_coords" in s:
+        operm = np.argsort(_lexkey(s["ori_coords"]), kind="stable")
+        inv = np.empty(len(operm), np.int64)
+        inv[operm] = np.arange(len(operm))
+        for k in _ORI_KEYS:
+            if k in s:
+                s[k] = np.asarray(s[k])[operm]
+        if "ema_map" in s:
+            em = np.asarray(s["ema_map"])
+            safe = np.clip(em, 0, max(len(inv) - 1, 0))
+            s["ema_map"] = np.where((em >= 0) & (em < len(inv)),
+                                    inv[safe], -1).astype(em.dtype)
+    return s
+
+
 def collate_padded(samples: List[Dict], point_budget: int,
-                   obj_budget: int = 2048, mask_budget: int = 64) -> Dict:
+                   obj_budget: int = 2048, mask_budget: int = 64,
+                   sort_points: bool = False) -> Dict:
     """Collate a list of per-sample dicts (from the dataset __getitem__) into
-    one padded numpy batch."""
+    one padded numpy batch. ``sort_points`` pre-sorts each sample by voxel
+    key so device plan builds can skip their input sort (train mode only —
+    eval keeps dataset order for the pseudo-label writer)."""
+    if sort_points:
+        samples = [_sort_sample_points(s) for s in samples]
     b = len(samples)
     out: Dict[str, np.ndarray] = {}
     p = point_budget

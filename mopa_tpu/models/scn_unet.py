@@ -92,7 +92,8 @@ def capacity_schedule(n_points: int, num_levels: int,
 
 def build_unet_plan_batched(coords, valid, num_levels: int,
                             capacities: Sequence[int] | None = None,
-                            sample_domains=None) -> UNetPlan:
+                            sample_domains=None,
+                            presorted: bool = False) -> UNetPlan:
     """Per-sample plan building, merged into one flat plan.
 
     The monolithic plan sorts ~14 V keys per level; at fused-batch sizes
@@ -123,7 +124,8 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
         # cross a sample boundary can then never false-match)
         sid_batch = jnp.full((p,), sid, jnp.int32)
         table, inverse, counts = voxel_ops.voxelize(c, sid_batch, v,
-                                                    capacities[0])
+                                                    capacities[0],
+                                                    presorted=presorted)
         levels = []
         nums = []
         prev = table

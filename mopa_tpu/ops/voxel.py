@@ -77,7 +77,7 @@ def pack_keys(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array):
 
 
 def voxelize(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
-             capacity: int | None = None):
+             capacity: int | None = None, presorted: bool = False):
     """Build the active-voxel table plus the point→voxel inverse map.
 
     Args:
@@ -87,6 +87,16 @@ def voxelize(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
         valid: (N,) bool.
         capacity: table capacity V (defaults to N — overflow-free since each
             point maps to at most one voxel).
+        presorted: the caller GUARANTEES rows are already sorted by the
+            packed (batch, x, y, z) key with padding rows last — the input
+            sort (the dominant cost of level-0 table builds) is skipped
+            entirely. The host input pipeline provides this for train
+            batches (``collate_padded(sort_points=True)`` lexsorts each
+            sample on the idle host while the device computes; a
+            ``lax.cond`` fallback is useless here because the builders run
+            under ``vmap``, where both branches would execute). Feeding
+            unsorted data with this flag corrupts the table — enforced by
+            the loader contract and ``tests/test_voxel.py``.
 
     Returns:
         (table: VoxelTable, inverse: (N,) int32 point→voxel slot (or -1 for
@@ -101,7 +111,10 @@ def voxelize(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
 
     key_hi, key_lo = pack_keys(coords, batch_idx, valid)
     perm = jnp.arange(n, dtype=jnp.int32)
-    s_hi, s_lo, s_perm = jax.lax.sort((key_hi, key_lo, perm), num_keys=2)
+    if presorted:
+        s_hi, s_lo, s_perm = key_hi, key_lo, perm
+    else:
+        s_hi, s_lo, s_perm = jax.lax.sort((key_hi, key_lo, perm), num_keys=2)
 
     s_valid = s_hi != PAD_HI
     prev_hi = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_hi[:-1]])
@@ -118,16 +131,23 @@ def voxelize(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
     new_group = new_group & in_cap
     num_voxels = jnp.minimum(jnp.sum(new_group.astype(jnp.int32)), v)
 
-    # scatter back to original point order
-    inverse = jnp.zeros((n,), jnp.int32).at[s_perm].set(vox_of_sorted)
+    # scatter back to original point order (identity when presorted)
+    if presorted:
+        inverse = vox_of_sorted
+        sorted_coords = coords
+        sorted_batch = batch_idx.astype(jnp.int32)
+    else:
+        inverse = jnp.zeros((n,), jnp.int32).at[s_perm].set(vox_of_sorted)
+        sorted_coords = coords[s_perm]
+        sorted_batch = batch_idx[s_perm].astype(jnp.int32)
 
     # voxel coords/batch/keys: take the first sorted point of each group
     group_head = jnp.where(new_group, vox_of_sorted, v)  # v == dump slot
     t_coords = (
-        jnp.zeros((v + 1, 3), jnp.int32).at[group_head].set(coords[s_perm])[:v]
+        jnp.zeros((v + 1, 3), jnp.int32).at[group_head].set(sorted_coords)[:v]
     )
     t_batch = (
-        jnp.zeros((v + 1,), jnp.int32).at[group_head].set(batch_idx[s_perm].astype(jnp.int32))[:v]
+        jnp.zeros((v + 1,), jnp.int32).at[group_head].set(sorted_batch)[:v]
     )
     t_hi = jnp.full((v + 1,), PAD_HI, jnp.int32).at[group_head].set(s_hi)[:v]
     t_lo = jnp.full((v + 1,), PAD_HI, jnp.int32).at[group_head].set(s_lo)[:v]
@@ -200,7 +220,9 @@ def merge_lookup_keys(t_hi: jax.Array, t_lo: jax.Array, q_hi: jax.Array,
     # One combined source index doubles as the table/query tag: table rows get
     # [0, v), queries [v, v + q). Sorting it as the third KEY orders equal-key
     # runs table-first (table indices < v <= any query index) — one operand
-    # less through the sort than a separate tag array.
+    # less through the sort than a separate tag array (XLA implements stable
+    # sorts by appending an iota tiebreaker, so num_keys=2 + stable would
+    # cost the same).
     src = jnp.concatenate([jnp.arange(v, dtype=jnp.int32),
                            jnp.arange(v, v + q, dtype=jnp.int32)])
     s_hi, s_lo, s_srcc = jax.lax.sort((hi, lo, src), num_keys=3)

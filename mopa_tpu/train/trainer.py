@@ -59,7 +59,8 @@ def _num_levels(cfg):
 
 
 def build_plan_from_batch(cfg, coords, batch_idx, valid_flat,
-                          batch_domains=None, sample_size=None):
+                          batch_domains=None, sample_size=None,
+                          presorted=None):
     """Voxel plan for a flat (N, 3) batch. With ``sample_size`` (the static
     per-sample point budget), plans are built per sample with ONE batched
     (vmapped) sort per level — per-sample sorts stay VMEM-resident, an order
@@ -72,12 +73,22 @@ def build_plan_from_batch(cfg, coords, batch_idx, valid_flat,
         doms = None
         if batch_domains is not None:
             doms = jnp.asarray(batch_domains, jnp.int32)[:s]
+        if presorted is None:
+            presorted = _presorted(cfg)
         return build_unet_plan_batched(
             coords.reshape(s, int(sample_size), 3),
             valid_flat.reshape(s, int(sample_size)), _num_levels(cfg),
-            capacities=caps, sample_domains=doms)
+            capacities=caps, sample_domains=doms, presorted=presorted)
     return build_unet_plan(coords, batch_idx, valid_flat, _num_levels(cfg),
                            capacities=caps, batch_domains=batch_domains)
+
+
+def _presorted(cfg):
+    """Train loaders emit voxel-key-sorted points (collate sort_points) so
+    plan builds skip their input sort. Only valid for loader-delivered
+    batches — device-computed point sets (the VGI cat batch) pass False."""
+    return bool(cfg.TPU.get("PRESORTED_POINTS", True)) if "TPU" in cfg \
+        else False
 
 
 def _capacities(cfg, n_points):
@@ -505,7 +516,8 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
             plan = build_unet_plan_batched(st_coords, st_valid,
                                            _num_levels(cfg),
                                            capacities=_capacities(cfg, p),
-                                           sample_domains=st_doms)
+                                           sample_domains=st_doms,
+                                           presorted=_presorted(cfg))
             if cat is not None:
                 n_cat = cat["valid"].shape[0] // b
                 cat_plan = build_unet_plan_batched(

@@ -200,7 +200,7 @@ def test_batched_plan_matches_monolithic_unet_outputs():
 
     # overflow-free capacities so both paths keep every voxel (random dense
     # clouds do not collapse 2x per level like real scans)
-    caps = capacity_schedule(p, levels, shrink=1.0, floor=128)
+    caps = capacity_schedule(p, levels, factors=(1.0,) * levels, floor=128)
 
     @jax.jit
     def run():
@@ -280,3 +280,84 @@ def test_build_submanifold_plan_presorted_method_matches_default():
     a = np.asarray(sc.build_submanifold_plan(table))
     b = np.asarray(sc.build_submanifold_plan(table, method="presorted"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_voxelize_presorted_matches_sorted_input():
+    """voxelize(presorted=True) on voxel-key-sorted input (the train-loader
+    contract) must equal the sorting path exactly — table, inverse, counts."""
+    rng = np.random.default_rng(13)
+    n = 800
+    coords = rng.integers(0, 30, size=(n, 3)).astype(np.int32)
+    valid = rng.random(n) > 0.2
+    key = ((coords[:, 0].astype(np.int64) * 4096 + coords[:, 1]) * 4096
+           + coords[:, 2])
+    key[~valid] = np.iinfo(np.int64).max  # padding rows last
+    perm = np.argsort(key, kind="stable")
+    sc, sv = coords[perm], valid[perm]
+
+    t0, inv0, cnt0 = voxel.voxelize(jnp.asarray(sc), jnp.zeros(n, jnp.int32),
+                                    jnp.asarray(sv), capacity=n)
+    t1, inv1, cnt1 = voxel.voxelize(jnp.asarray(sc), jnp.zeros(n, jnp.int32),
+                                    jnp.asarray(sv), capacity=n,
+                                    presorted=True)
+    np.testing.assert_array_equal(np.asarray(t0.key_hi), np.asarray(t1.key_hi))
+    np.testing.assert_array_equal(np.asarray(t0.key_lo), np.asarray(t1.key_lo))
+    np.testing.assert_array_equal(np.asarray(t0.coords), np.asarray(t1.coords))
+    np.testing.assert_array_equal(np.asarray(inv0), np.asarray(inv1))
+    np.testing.assert_array_equal(np.asarray(cnt0), np.asarray(cnt1))
+
+
+def test_collate_sort_points_preserves_alignment():
+    """sort_points reorders every per-point array with one permutation and
+    remaps ema_map through the ori permutation."""
+    from mopa_tpu.data.collate import collate_padded
+
+    rng = np.random.default_rng(14)
+    n, n_ori = 120, 150
+    sample = {
+        "coords": rng.integers(0, 50, (n, 3)).astype(np.int64),
+        "feats": rng.normal(size=(n, 1)).astype(np.float32),
+        "seg_label": rng.integers(0, 5, n).astype(np.int64),
+        "img_indices": rng.integers(0, 30, (n, 2)).astype(np.int64),
+        "ori_coords": rng.integers(0, 50, (n_ori, 3)).astype(np.int64),
+        "ori_feats": np.ones((n_ori, 1), np.float32),
+        "ori_img_indices": rng.integers(0, 30, (n_ori, 2)).astype(np.int64),
+        "ema_map": rng.integers(-1, n_ori, n).astype(np.int32),
+        "ori_img": np.zeros((4, 4, 3), np.float32),
+        "img": np.zeros((4, 4, 3), np.float32),
+        "lidar_path": "x", "scan_pth": "x",
+    }
+    p = 256
+    plain = collate_padded([dict(sample)], p)
+    srt = collate_padded([dict(sample)], p, sort_points=True)
+
+    # per-point pairs (coords, label, feats, img_indices) are the same SET
+    def rows(batch):
+        pv = batch["point_valid"].reshape(-1)
+        return {tuple(np.concatenate([
+            batch["coords"][i], [batch["seg_label"][i]],
+            batch["img_indices"][0, i]]).tolist())
+            for i in range(p) if pv[i]}
+    assert rows(plain) == rows(srt)
+    # coords now sorted by voxel key within the valid prefix
+    nvalid = int(srt["num_points"][0])
+    c = srt["coords"][:nvalid].astype(np.int64)
+    key = (c[:, 0] * 4096 + c[:, 1]) * 4096 + c[:, 2]
+    assert np.all(np.diff(key) >= 0)
+    # ema_map still points at the SAME ori point (same ori coords row)
+    em_p = plain["ema_map"][0]
+    em_s = srt["ema_map"][0]
+    oc_p = plain["ori_coords"].reshape(-1, 3)
+    oc_s = srt["ori_coords"].reshape(-1, 3)
+    # match student rows between the two batches via their coord+label tuple
+    def sig(batch, i):
+        return tuple(np.concatenate([
+            batch["coords"][i], [batch["seg_label"][i]],
+            batch["img_indices"][0, i]]).tolist())
+    lookup = {sig(srt, i): i for i in range(nvalid)}
+    for i in range(int(plain["num_points"][0])):
+        j = lookup[sig(plain, i)]
+        if em_p[i] >= 0 and em_p[i] < n_ori:
+            assert em_s[j] >= 0
+            np.testing.assert_array_equal(oc_p[em_p[i]], oc_s[em_s[j]])
+        # (a -1 stays -1 up to ori-budget truncation differences)
