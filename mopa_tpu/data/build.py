@@ -61,12 +61,14 @@ class DataLoader:
 
     def __init__(self, dataset, batch_sampler, point_budget, mask_budget=64,
                  num_workers=0, prefetch=PREFETCH, process_index=None,
-                 process_count=None, sort_points=False):
+                 process_count=None, sort_points=False,
+                 host_plan_capacities=None):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.point_budget = point_budget
         self.mask_budget = mask_budget
         self.sort_points = sort_points
+        self.host_plan_capacities = host_plan_capacities
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
         self.process_index = process_index
@@ -92,7 +94,8 @@ class DataLoader:
             samples = [self.dataset[i] for i in indices]
         return collate_padded(samples, self.point_budget,
                               mask_budget=self.mask_budget,
-                              sort_points=self.sort_points)
+                              sort_points=self.sort_points,
+                              host_plan_capacities=self.host_plan_capacities)
 
     def __iter__(self):
         if self.num_workers <= 0:
@@ -199,7 +202,21 @@ def build_dataloader(cfg, mode="train", domain="source", start_iteration=0,
     # pseudo-label writer
     presort = is_train and bool(cfg.TPU.get("PRESORTED_POINTS", True)) \
         if "TPU" in cfg else is_train
-    return DataLoader(dataset, sampler, point_budget_for(cfg, dataset_cfg.TYPE),
+    budget = point_budget_for(cfg, dataset_cfg.TYPE)
+    # host-side C++ plan builds (overlapped with device compute) for the
+    # voxel-table backbones in train mode
+    host_caps = None
+    if (presort and "TPU" in cfg and bool(cfg.TPU.get("HOST_PLANS", True))
+            and "SalsaNext" not in cfg.MODEL_3D.TYPE):
+        from mopa_tpu.models.scn_unet import capacity_schedule
+
+        if "SPVCNN" in cfg.MODEL_3D.TYPE:
+            from mopa_tpu.models.spvcnn import NUM_LEVELS as _nl
+        else:
+            _nl = int(cfg.MODEL_3D.SCN.num_planes)
+        factors = tuple(cfg.TPU.get("CAP_FACTORS", ()))
+        host_caps = capacity_schedule(budget, _nl, factors=factors or None)
+    return DataLoader(dataset, sampler, budget,
                       mask_budget=mask_budget,
                       num_workers=cfg.DATALOADER.NUM_WORKERS,
-                      sort_points=presort)
+                      sort_points=presort, host_plan_capacities=host_caps)

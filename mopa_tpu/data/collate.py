@@ -93,13 +93,38 @@ def _sort_sample_points(s: Dict) -> Dict:
     return s
 
 
+def _host_plan_batch(out: Dict, b: int, p: int, capacities, prefix: str,
+                     coords_key: str, valid_key: str) -> None:
+    """Build per-sample UNet voxel plans on the host (native C++) and stack
+    the compact-dtype arrays into the batch under ``prefix``. Silently a
+    no-op when the native library is unavailable — the trainer then falls
+    back to device-side plan builds."""
+    from mopa_tpu.data import native_loader
+
+    coords = out[coords_key].reshape(b, p, 3)
+    valid = out[valid_key].reshape(b, p)
+    per = []
+    for i in range(b):
+        host = native_loader.build_plan_arrays(coords[i], valid[i], capacities)
+        if host is None:
+            return
+        per.append(host)
+    for key in ("ranks", "sel", "valid", "down", "f2c", "upoff",
+                "inverse", "counts", "nums"):
+        out[prefix + key] = np.stack([h[key] for h in per])
+
+
 def collate_padded(samples: List[Dict], point_budget: int,
                    obj_budget: int = 2048, mask_budget: int = 64,
-                   sort_points: bool = False) -> Dict:
+                   sort_points: bool = False,
+                   host_plan_capacities=None) -> Dict:
     """Collate a list of per-sample dicts (from the dataset __getitem__) into
     one padded numpy batch. ``sort_points`` pre-sorts each sample by voxel
     key so device plan builds can skip their input sort (train mode only —
-    eval keeps dataset order for the pseudo-label writer)."""
+    eval keeps dataset order for the pseudo-label writer).
+    ``host_plan_capacities`` additionally builds the full per-sample UNet
+    voxel plans on the host (native C++, overlapped with device compute)
+    and ships them with the batch (``hp_*`` / ``hp_ori_*`` keys)."""
     if sort_points:
         samples = [_sort_sample_points(s) for s in samples]
     b = len(samples)
@@ -215,6 +240,13 @@ def collate_padded(samples: List[Dict], point_budget: int,
             [np.asarray(s["proj_matrix"], np.float32)[:3, :4] for s in samples])
         out["img_size"] = np.stack(
             [np.asarray(s["ori_img_size"], np.int32) for s in samples])
+
+    if host_plan_capacities is not None and sort_points:
+        _host_plan_batch(out, b, p, host_plan_capacities, "hp_",
+                         "coords", "point_valid")
+        if "ori_coords" in out:
+            _host_plan_batch(out, b, p, host_plan_capacities, "hp_ori_",
+                             "ori_coords", "ori_point_valid")
 
     # host-side metadata (not shipped to device)
     meta = {}

@@ -42,6 +42,22 @@ def _lib():
     lib.mopa_read_labels.restype = ctypes.c_int
     lib.mopa_voxel_dedup.restype = ctypes.c_int
     lib.mopa_augment_scale.restype = ctypes.c_int
+    if not hasattr(lib, "mopa_build_plan"):  # stale .so — rebuild once
+        script = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                          "..", "tools", "build_native.sh")
+        try:
+            subprocess.run(["bash", script], check=True, capture_output=True,
+                           timeout=120)
+            lib = ctypes.CDLL(so)
+        except Exception:
+            return None
+        if not hasattr(lib, "mopa_build_plan"):
+            return None
+        lib.mopa_read_scan.restype = ctypes.c_int
+        lib.mopa_read_labels.restype = ctypes.c_int
+        lib.mopa_voxel_dedup.restype = ctypes.c_int
+        lib.mopa_augment_scale.restype = ctypes.c_int
+    lib.mopa_build_plan.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -144,3 +160,51 @@ def voxel_dedup(coords: np.ndarray, capacity: int | None = None):
                              _ptr(index, ctypes.c_int32),
                              _ptr(inverse, ctypes.c_int32), capacity)
     return index[:u], inverse
+
+
+def build_plan_arrays(coords: np.ndarray, valid: np.ndarray,
+                      capacities) -> dict | None:
+    """Full per-sample UNet voxel plan on the host (C++), or None when the
+    native library is unavailable (callers fall back to device builds).
+
+    Returns compact-dtype arrays bit-identical (after widening) to
+    ``scn_unet.build_unet_plan_batched``'s per-sample plans:
+    ``inverse (P,) i32``, ``counts (cap0,) i32``, ``nums (L,) i32``, and per
+    level ``ranks (cap_l*9,) i16`` (sentinel = cap_l), ``sel (cap_l*9,) i8``,
+    ``valid (cap_l,) u8``; per level >= 1 ``down (cap_l*8,) i16``,
+    ``f2c (cap_{l-1},) i16``, ``upoff (cap_{l-1},) i8``.
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    caps = np.asarray(capacities, np.int32)
+    nl = len(caps)
+    coords = np.ascontiguousarray(coords, np.int32)
+    valid_u8 = np.ascontiguousarray(valid, np.uint8)
+    n = coords.shape[0]
+    sum9 = int(caps.sum()) * 9
+    sum1 = int(caps.sum())
+    sum8 = int(caps[1:].sum()) * 8
+    sumf = int(caps[:-1].sum())
+    inverse = np.empty(n, np.int32)
+    counts = np.empty(int(caps[0]), np.int32)
+    ranks = np.empty(sum9, np.int16)
+    sel = np.empty(sum9, np.int8)
+    vvalid = np.empty(sum1, np.uint8)
+    down = np.empty(max(sum8, 1), np.int16)
+    f2c = np.empty(max(sumf, 1), np.int16)
+    upoff = np.empty(max(sumf, 1), np.int8)
+    nums = np.empty(nl, np.int32)
+    rc = lib.mopa_build_plan(
+        _ptr(coords, ctypes.c_int32), _ptr(valid_u8, ctypes.c_uint8),
+        ctypes.c_int(n), ctypes.c_int(nl), _ptr(caps, ctypes.c_int32),
+        _ptr(inverse, ctypes.c_int32), _ptr(counts, ctypes.c_int32),
+        _ptr(ranks, ctypes.c_int16), _ptr(sel, ctypes.c_int8),
+        _ptr(vvalid, ctypes.c_uint8), _ptr(down, ctypes.c_int16),
+        _ptr(f2c, ctypes.c_int16), _ptr(upoff, ctypes.c_int8),
+        _ptr(nums, ctypes.c_int32))
+    if rc != 0:
+        return None
+    return {"inverse": inverse, "counts": counts, "nums": nums,
+            "ranks": ranks, "sel": sel, "valid": vvalid,
+            "down": down[:sum8], "f2c": f2c[:sumf], "upoff": upoff[:sumf]}

@@ -194,6 +194,66 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
                     num_voxels=jnp.sum(nums_b, axis=0))
 
 
+HOST_PLAN_KEYS = ("ranks", "sel", "valid", "down", "f2c", "upoff",
+                  "inverse", "counts", "nums")
+
+
+def plan_from_host_arrays(arrs, capacities, num_levels: int,
+                          sample_domains=None) -> UNetPlan:
+    """Assemble a UNetPlan from loader-shipped compact plan arrays (the
+    native C++ ``mopa_build_plan`` via ``collate_padded``'s ``hp_*`` keys).
+
+    The host builds each sample's plan bit-identically to
+    :func:`build_unet_plan_batched`'s per-sample stage; this function only
+    widens the compact dtypes and applies the same per-sample slot offsets —
+    a few elementwise passes instead of the per-level sort pipeline.
+    """
+    capacities = [int(c) for c in capacities]
+    ranks_b = jnp.asarray(arrs["ranks"])
+    s = ranks_b.shape[0]
+
+    def off(vals, cap, guard_neg):
+        o = (jnp.arange(s, dtype=jnp.int32) * cap).reshape(s, 1)
+        vals = vals.astype(jnp.int32)
+        if guard_neg:
+            return jnp.where(vals >= 0, vals + o, -1).reshape(-1)
+        return (vals + o).reshape(-1)
+
+    levels = []
+    o9 = o1 = o8 = of = 0
+    for l in range(num_levels):
+        cap = capacities[l]
+        ranks = off(ranks_b[:, o9:o9 + cap * 9], cap, guard_neg=False)
+        sel = jnp.asarray(arrs["sel"])[:, o9:o9 + cap * 9].astype(
+            jnp.int32).reshape(-1)
+        valid_l = jnp.asarray(arrs["valid"])[:, o1:o1 + cap].astype(
+            bool).reshape(-1)
+        down = f2c = upoff = None
+        if l >= 1:
+            capf = capacities[l - 1]
+            down = off(jnp.asarray(arrs["down"])[:, o8:o8 + cap * 8], capf,
+                       guard_neg=True).reshape(-1, 8)
+            f2c = off(jnp.asarray(arrs["f2c"])[:, of:of + capf], cap,
+                      guard_neg=True)
+            upoff = jnp.asarray(arrs["upoff"])[:, of:of + capf].astype(
+                jnp.int32).reshape(-1)
+            o8 += cap * 8
+            of += capf
+        dom = None
+        if sample_domains is not None:
+            dom = jnp.repeat(jnp.asarray(sample_domains, jnp.int32), cap)
+        levels.append(LevelPlan(nbr=None, valid=valid_l, down_nbr=down,
+                                f2c=f2c, up_off=upoff, dom=dom,
+                                ranks=ranks, sel=sel))
+        o9 += cap * 9
+        o1 += cap
+    inverse = off(jnp.asarray(arrs["inverse"]), capacities[0], guard_neg=True)
+    counts = jnp.asarray(arrs["counts"]).astype(jnp.int32).reshape(-1)
+    nums = jnp.sum(jnp.asarray(arrs["nums"]).astype(jnp.int32), axis=0)
+    return UNetPlan(levels=tuple(levels), point_inverse=inverse,
+                    point_counts=counts, num_voxels=nums)
+
+
 def build_unet_plan(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
                     num_levels: int, capacities: Sequence[int] | None = None,
                     batch_domains=None) -> UNetPlan:

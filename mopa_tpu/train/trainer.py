@@ -32,8 +32,9 @@ from mopa_tpu.common.solver import build_optimizer
 from mopa_tpu.models import losses as L
 from mopa_tpu.models.build import build_model_2d, build_model_3d
 from mopa_tpu.models.metric import confusion_matrix
-from mopa_tpu.models.scn_unet import (build_unet_plan,
-                                      build_unet_plan_batched, concat_plans)
+from mopa_tpu.models.scn_unet import (HOST_PLAN_KEYS, build_unet_plan,
+                                      build_unet_plan_batched, concat_plans,
+                                      plan_from_host_arrays)
 from mopa_tpu.ops import mixmatch as vgi_ops
 
 
@@ -252,6 +253,8 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
     ema_xm_prob = float(pc_mm.ema_xm_prob)
     ema_period = max(int(pc_mm.ema_update_period), 1)
     is_range = "SalsaNext" in cfg.MODEL_3D.TYPE
+    use_host_plans = bool(cfg.TPU.get("HOST_PLANS", True)) if "TPU" in cfg \
+        else False
     assert not (is_range and (with_vgi or with_ema)), \
         "VGI/EMA are SCN-backbone paths (reference MoPA trains SCN only)"
     n_dev = 1 if mesh is None else mesh.shape["data"]
@@ -281,9 +284,15 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         small logit shifts change labels only near the confidence cutoff."""
         b, p = batch_trg["ori_img_indices"].shape[:2]
         ori_valid = batch_trg["ori_point_valid"]
-        plan = build_plan_from_batch(cfg, batch_trg["ori_coords"],
-                                     batch_trg["ori_batch_idx"],
-                                     ori_valid.reshape(-1), sample_size=p)
+        if use_host_plans and "hp_ori_ranks" in batch_trg:
+            plan = plan_from_host_arrays(
+                {k: batch_trg["hp_ori_" + k] for k in HOST_PLAN_KEYS},
+                _capacities(cfg, p), _num_levels(cfg))
+        else:
+            plan = build_plan_from_batch(cfg, batch_trg["ori_coords"],
+                                         batch_trg["ori_batch_idx"],
+                                         ori_valid.reshape(-1),
+                                         sample_size=p)
         t2d = {"img": batch_trg["ori_img"],
                "img_indices": batch_trg["ori_img_indices"],
                "point_valid": ori_valid}
@@ -513,11 +522,22 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
                 [batch_src["point_valid"].reshape(-1),
                  batch_trg["point_valid"].reshape(-1)]).reshape(2 * b, p)
             st_doms = np.repeat(np.arange(2, dtype=np.int32), b)
-            plan = build_unet_plan_batched(st_coords, st_valid,
-                                           _num_levels(cfg),
-                                           capacities=_capacities(cfg, p),
-                                           sample_domains=st_doms,
-                                           presorted=_presorted(cfg))
+            if use_host_plans and "hp_ranks" in batch_src \
+                    and "hp_ranks" in batch_trg:
+                # plans were built by the native loader on the host,
+                # overlapped with the previous step's device compute
+                arrs = {k: jnp.concatenate([batch_src["hp_" + k],
+                                            batch_trg["hp_" + k]])
+                        for k in HOST_PLAN_KEYS}
+                plan = plan_from_host_arrays(arrs, _capacities(cfg, p),
+                                             _num_levels(cfg),
+                                             sample_domains=st_doms)
+            else:
+                plan = build_unet_plan_batched(st_coords, st_valid,
+                                               _num_levels(cfg),
+                                               capacities=_capacities(cfg, p),
+                                               sample_domains=st_doms,
+                                               presorted=_presorted(cfg))
             if cat is not None:
                 n_cat = cat["valid"].shape[0] // b
                 cat_plan = build_unet_plan_batched(

@@ -194,3 +194,34 @@ def test_depth_pred_auxiliary_task():
     for _ in range(3):
         state, metrics = step(state, bs, bt)
     assert np.isfinite(float(metrics["depth_pred_loss"]))
+
+
+def test_host_plans_match_device_plans():
+    """The native loader's host-built plans must reproduce the device plan
+    build exactly: same batch, same step, identical losses/metrics."""
+    from mopa_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader unavailable")
+    c = tiny_cfg()
+    models, _ = trainer.build_models(c, output_all=False)
+    src_it, trg_it = _loaders(c)
+    bs = _device_batch(next(src_it))
+    bt = _device_batch(next(trg_it))
+    assert "hp_ranks" in bs, "host plans missing from the train batch"
+    state = trainer.make_train_step  # noqa: avoid unused warnings
+    st0 = trainer.create_train_state(c, models, bs)
+
+    step_host = trainer.make_train_step(c, models, with_pl=False,
+                                        with_ema=False)
+    c2 = c.clone()
+    c2.TPU.HOST_PLANS = False
+    step_dev = trainer.make_train_step(c2, models, with_pl=False,
+                                       with_ema=False)
+    _, m_host = step_host(st0, bs, bt)
+    st1 = trainer.create_train_state(c, models, bs)
+    _, m_dev = step_dev(st1, bs, bt)
+    for k in m_host:
+        np.testing.assert_allclose(np.asarray(m_host[k]),
+                                   np.asarray(m_dev[k]), rtol=1e-5,
+                                   atol=1e-5, err_msg=k)
