@@ -59,7 +59,7 @@ def main():
     from mopa_tpu.config.xmuda import cfg
     from mopa_tpu.data.build import build_dataloader
     from mopa_tpu.train import trainer as trainer_mod
-    from mopa_tpu.train.common import device_batch
+    from mopa_tpu.train.common import device_batch, device_prefetch
 
     c = cfg.clone()
     c.merge_from_file(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -75,12 +75,20 @@ def main():
         d.image_size = (480, 302)
         d.length = 64
     c.DATALOADER.NUM_WORKERS = 4
+    # enough sampler iterations for the e2e streaming measurement
+    c.SCHEDULER.MAX_ITERATION = 100000
 
     models, _ = trainer_mod.build_models(c, output_all=True)
     src_loader = build_dataloader(c, "train", "source")
     trg_loader = build_dataloader(c, "train", "target")
-    src = device_batch(next(iter(src_loader)))
-    trg = device_batch(next(iter(trg_loader)))
+    src_host = next(iter(src_loader))
+    trg_host = next(iter(trg_loader))
+    # the pre-EMA step never reads the EMA-teacher keys; ship the stripped
+    # wire batches it would see in training (train/common.py EMA_ONLY_KEYS)
+    src = device_batch(src_host, strip_ema=True)
+    trg = device_batch(trg_host, strip_ema=True)
+    src_full = device_batch(src_host)
+    trg_full = device_batch(trg_host)
     state = trainer_mod.create_train_state(c, models, src)
 
     # NOTE: on the axon backend block_until_ready resolves at schedule time,
@@ -99,15 +107,13 @@ def main():
     def measure_e2e(step, state, n_iters):
         """Stream fresh batches through the real input pipeline (threaded
         prefetch + collate), overlapping host loading with device compute."""
-        src_it = iter(src_loader)
-        trg_it = iter(trg_loader)
-        state, metrics = step(state, device_batch(next(src_it)),
-                              device_batch(next(trg_it)))
+        src_it = device_prefetch(src_loader, strip_ema=True)
+        trg_it = device_prefetch(trg_loader, strip_ema=True)
+        state, metrics = step(state, next(src_it), next(trg_it))
         _ = float(np.asarray(metrics["total_loss"]))
         t0 = time.time()
         for _ in range(n_iters):
-            state, metrics = step(state, device_batch(next(src_it)),
-                                  device_batch(next(trg_it)))
+            state, metrics = step(state, next(src_it), next(trg_it))
         _ = float(np.asarray(metrics["total_loss"]))
         return n_iters * c.TRAIN.BATCH_SIZE / (time.time() - t0), state
 
@@ -119,10 +125,21 @@ def main():
 
     # EMA phase (reference iterations >= ema_start_iter: 2 extra teacher
     # forwards + on-device refine + a second plan build; the last 30-40k of
-    # the 100k-iteration recipe runs this step)
+    # the 100k-iteration recipe runs this step on FULL batches incl. the
+    # teacher's unaugmented inputs)
     step_ema = trainer_mod.make_train_step(c, models, with_pl=True,
                                            with_ema=True)
-    ema_scans_per_sec, _ = measure(step_ema, state, n_iters)
+
+    def measure_full(step, state, n_iters):
+        state, metrics = step(state, src_full, trg_full)
+        _ = float(np.asarray(metrics["total_loss"]))
+        t0 = time.time()
+        for _ in range(n_iters):
+            state, metrics = step(state, src_full, trg_full)
+        _ = float(np.asarray(metrics["total_loss"]))
+        return n_iters * c.TRAIN.BATCH_SIZE / (time.time() - t0), state
+
+    ema_scans_per_sec, _ = measure_full(step_ema, state, n_iters)
 
     # published recipe: ema_start_iter 60k of 100k iterations
     weighted = 1.0 / (0.6 / scans_per_sec + 0.4 / ema_scans_per_sec)

@@ -33,6 +33,9 @@ def make_eval_step(cfg, models, mesh=None):
     is_range = "SalsaNext" in cfg.MODEL_3D.TYPE
 
     def eval_step(state, batch):
+        from mopa_tpu.train.common import decode_batch
+
+        batch = decode_batch(batch)
         valid = batch["point_valid"].reshape(-1)
         out2d, _ = trainer_mod._forward_2d(
             models.model_2d, state.params_2d, state.batch_stats_2d, batch,
@@ -94,7 +97,9 @@ def validate(cfg, state, models, dataloader, val_metric_logger, logger,
     for iteration, batch in enumerate(dataloader):
         data_time = time.time() - end
         meta = batch.pop("_meta", {})
-        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        from mopa_tpu.train.common import device_batch
+
+        dev_batch = device_batch(batch)
         probs_2d, probs_3d, loss2d, loss3d = eval_step(state, dev_batch)
         probs_2d = np.asarray(probs_2d)
         probs_3d = np.asarray(probs_3d)

@@ -79,8 +79,96 @@ def prepare_output_dir(cfg, args):
     return models_output_dir, run_name, log_file
 
 
-def device_batch(batch):
-    return {k: jnp.asarray(v) for k, v in batch.items() if k != "_meta"}
+# keys the non-EMA train phases never read (the EMA teacher's unaugmented
+# inputs + its host-built voxel plans) — stripped from transfers before
+# ema_start_iter. ``ori_points`` / ``ori_pseudo_label_3d`` stay: VGI uses
+# them in every MoPA phase (ops/mixmatch.py::vgi_insert_batch).
+EMA_ONLY_KEYS = ("ori_img", "ori_img_indices", "ori_coords", "ori_batch_idx",
+                 "ori_point_valid", "ori_feats", "ema_map")
+EMA_ONLY_PREFIX = "hp_ori_"
+
+# derivable on device from (B, P) — never worth shipping
+_DERIVED_KEYS = ("batch_idx", "ori_batch_idx")
+
+
+def device_batch(batch, strip_ema: bool = False):
+    """Ship a collated numpy batch to device in its compact wire dtypes.
+    ``strip_ema`` drops the EMA-teacher-only keys (pre-``ema_start_iter``
+    phases never read them — ~45% of target-batch bytes)."""
+    def keep(k):
+        if k == "_meta" or k in _DERIVED_KEYS:
+            return False
+        if strip_ema and (k in EMA_ONLY_KEYS or k.startswith(EMA_ONLY_PREFIX)):
+            return False
+        return True
+
+    return {k: jnp.asarray(v) for k, v in batch.items() if keep(k)}
+
+
+_WIRE_INT_KEYS = ("coords", "img_indices", "seg_label", "pseudo_label_2d",
+                  "pseudo_label_3d", "sam_mask", "ema_map", "ori_coords",
+                  "ori_img_indices", "ori_pseudo_label_3d", "hp_counts",
+                  "hp_inverse", "hp_ori_counts", "hp_ori_inverse", "proj_xy")
+_WIRE_FLOAT_KEYS = ("feats", "ori_feats")
+
+
+def decode_batch(batch):
+    """Widen a wire-format batch back to compute dtypes (jittable; runs as
+    the first op of the jitted step so only compact bytes cross the link).
+    Tolerant: already-wide batches pass through unchanged, and the derived
+    ``batch_idx`` keys are rebuilt from the (B, P) layout when absent."""
+    out = dict(batch)
+    for k in ("img", "ori_img"):
+        if k in out and out[k].dtype == jnp.uint8:
+            out[k] = out[k].astype(jnp.float32) / 255.0
+    for k in _WIRE_INT_KEYS:
+        if k in out and out[k].dtype != jnp.int32:
+            out[k] = out[k].astype(jnp.int32)
+    for k in _WIRE_FLOAT_KEYS:
+        if k in out and out[k].dtype != jnp.float32:
+            out[k] = out[k].astype(jnp.float32)
+    if "point_valid" in out:
+        b, p = out["point_valid"].shape
+        bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+        if "batch_idx" not in out:
+            out["batch_idx"] = bidx
+        if "ori_batch_idx" not in out and "ori_coords" in out:
+            out["ori_batch_idx"] = bidx
+    return out
+
+
+def device_prefetch(iterator, depth: int = 1, strip_ema: bool = False):
+    """Iterate device-resident batches whose host->device transfers run in a
+    BACKGROUND thread. On the tunneled backend device_put blocks until the
+    bytes are shipped (~80 MB/s), so in-line transfers serialise with
+    compute; a transfer thread overlaps them with the device step (the
+    transfer path releases the GIL)."""
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for b in iterator:
+                if stop.is_set():
+                    return
+                q.put(device_batch(b, strip_ema=strip_ema))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            b = q.get()
+            if b is sentinel:
+                return
+            yield b
+    finally:
+        stop.set()
 
 
 def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
@@ -172,14 +260,31 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
     val_metric_logger = MetricLogger(delimiter="  ")
     logger.info("Start training from iteration {}".format(start_iteration))
 
-    src_iter = iter(train_src)
-    trg_iter = iter(train_trg) if has_trg else None
+    # pre-EMA phases never read the EMA-teacher inputs — strip them from the
+    # host->device transfers (about 45% of target-batch bytes)
+    in_ema = start_iteration >= ema_start
+    src_iter = device_prefetch(train_src, strip_ema=not in_ema)
+    trg_iter = (device_prefetch(train_trg, strip_ema=not in_ema)
+                if has_trg else None)
     end = time.time()
     eval_dict = {}
 
     for iteration in range(start_iteration, max_iteration):
-        batch_src = device_batch(next(src_iter))
-        batch_trg = device_batch(next(trg_iter)) if has_trg else batch_src
+        if iteration >= ema_start and not in_ema:
+            # EMA phase switch: rebuild the pipeline WITHOUT key stripping.
+            # Loaders restart at the current iteration so prefetched
+            # (stripped) batches are discarded without losing sampler
+            # alignment (same mechanism as crash-resume).
+            in_ema = True
+            train_src = build_dataloader(cfg, "train", "source",
+                                         start_iteration=iteration)
+            src_iter = device_prefetch(train_src)
+            if has_trg:
+                train_trg = build_dataloader(cfg, "train", "target",
+                                             start_iteration=iteration)
+                trg_iter = device_prefetch(train_trg)
+        batch_src = next(src_iter)
+        batch_trg = next(trg_iter) if has_trg else batch_src
 
         if iteration >= ema_start:
             if step_ema is None:

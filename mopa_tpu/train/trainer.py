@@ -120,6 +120,11 @@ def build_models(cfg, output_all=None):
 
 def create_train_state(cfg, models: Models, example_batch, seed=None):
     """Initialise parameters/optimizers from one example batch (host side)."""
+    from mopa_tpu.train.common import decode_batch
+
+    example_batch = decode_batch({k: jnp.asarray(v)
+                                  for k, v in example_batch.items()
+                                  if k != "_meta"})
     seed = cfg.RNG_SEED if seed is None else seed
     rng = jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
     k2d, k3d, krest = jax.random.split(rng, 3)
@@ -495,6 +500,12 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         return total, (metrics, bs2d, bs3d)
 
     def train_step(state: TrainState, batch_src: Dict, batch_trg: Dict):
+        # widen compact wire dtypes (uint8 images, int16 indices/labels) in
+        # graph — only the compact bytes cross the host->device link
+        from mopa_tpu.train.common import decode_batch
+
+        batch_src = decode_batch(batch_src)
+        batch_trg = decode_batch(batch_trg)
         rng, step_rng, ema_rng, vgi_rng = jax.random.split(state.rng, 4)
 
         if with_ema:

@@ -385,9 +385,12 @@ def _run_3d_import_parity(m, num_planes, ncls, scale, n_pts, seed=3,
 
     model = Net3DSeg(num_classes=ncls, dual_head=True, m=m,
                      num_planes=num_planes, full_scale=scale)
+    # explicit overflow-free capacities: the default schedule follows the
+    # LiDAR dedup curve, but random-uniform test coords barely dedup across
+    # levels — parity requires that no voxel is capacity-dropped
     plan = jax.jit(lambda: build_unet_plan(
         jnp.asarray(coords), jnp.asarray(batch_idx), jnp.asarray(valid),
-        num_levels=num_planes))()
+        num_levels=num_planes, capacities=[max(n, 128)] * num_planes))()
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats), plan,
                            train=False)
     params = unflatten_into(variables["params"], params_flat)

@@ -42,7 +42,7 @@ def main():
     from mopa_tpu.config.xmuda import cfg
     from mopa_tpu.data.build import build_dataloader
     from mopa_tpu.train import trainer as trainer_mod
-    from mopa_tpu.train.common import device_batch
+    from mopa_tpu.train.common import decode_batch, device_batch
 
     c = cfg.clone()
     c.merge_from_file("configs/synthetic/mopa_smoke.yaml")
@@ -58,8 +58,12 @@ def main():
     c.DATALOADER.NUM_WORKERS = 4
 
     models, _ = trainer_mod.build_models(c, output_all=True)
-    src = device_batch(next(iter(build_dataloader(c, "train", "source"))))
-    trg = device_batch(next(iter(build_dataloader(c, "train", "target"))))
+    # component probes index batch arrays directly -> decode the wire
+    # dtypes up front (the full-step probes ship wire batches as in training)
+    src_wire = device_batch(next(iter(build_dataloader(c, "train", "source"))))
+    trg_wire = device_batch(next(iter(build_dataloader(c, "train", "target"))))
+    src = jax.jit(decode_batch)(src_wire)
+    trg = jax.jit(decode_batch)(trg_wire)
     state = trainer_mod.create_train_state(c, models, src)
 
     # 1. plan build, chained through coords
@@ -118,11 +122,11 @@ def main():
 
     # 6. full steps (state chaining is inherent)
     def run_step(step_fn, st, n=10, name=""):
-        st, m = step_fn(st, src, trg)
+        st, m = step_fn(st, src_wire, trg_wire)
         _ = float(np.asarray(m["total_loss"]))
         t0 = time.time()
         for _ in range(n):
-            st, m = step_fn(st, src, trg)
+            st, m = step_fn(st, src_wire, trg_wire)
         _ = float(np.asarray(m["total_loss"]))
         print("{:35s} {:8.1f} ms".format(name, (time.time() - t0) / n * 1000),
               flush=True)
