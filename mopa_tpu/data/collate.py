@@ -72,12 +72,14 @@ def remap_mask_ids(mask: np.ndarray, budget: int) -> np.ndarray:
     budget slots (area-descending, matching the reference's sort-by-area).
     """
     mask = mask.astype(np.int32)
-    out = np.full_like(mask, -100)
-    ids, counts = np.unique(mask[mask >= 0], return_counts=True)
-    order = np.argsort(-counts)
-    for new_id, k in enumerate(order[:budget]):
-        out[mask == ids[k]] = new_id
-    return out
+    ids, inv, counts = np.unique(mask, return_inverse=True,
+                                 return_counts=True)
+    # rank only the non-negative ids by area (stable w.r.t. the old loop)
+    pos = np.where(ids >= 0)[0]
+    order = pos[np.argsort(-counts[pos], kind="stable")]
+    newid = np.full(ids.shape[0], -100, np.int32)
+    newid[order[:budget]] = np.arange(min(budget, order.shape[0]), dtype=np.int32)
+    return newid[inv].reshape(mask.shape)
 
 
 _POINT_KEYS = ("coords", "feats", "seg_label", "img_indices",
@@ -138,8 +140,8 @@ def _host_plan_batch(out: Dict, b: int, p: int, capacities, prefix: str,
     compact = {}
     if _int16_ok(p, int(max(capacities))):
         compact = {"inverse": np.int16, "counts": np.int16}
-    for key in ("ranks", "sel", "valid", "down", "f2c", "upoff",
-                "inverse", "counts", "nums"):
+    for key in ("rankd", "ebits", "downd", "downe", "f2c", "upoff",
+                "inverse", "counts", "nums", "fix"):
         stacked = np.stack([h[key] for h in per])
         out[prefix + key] = stacked.astype(compact.get(key, stacked.dtype))
 
@@ -214,9 +216,11 @@ def collate_padded(samples: List[Dict], point_budget: int,
         out["points_xyz"] = pxyz
 
     if "sam_mask" in samples[0]:
+        # remapped ids live in [-100, mask_budget) — int8 wire when they fit
+        mask_t = np.int8 if mask_budget <= 127 else idx_t
         out["sam_mask"] = np.stack(
             [remap_mask_ids(np.asarray(s["sam_mask"]), mask_budget)
-             for s in samples]).astype(idx_t)
+             for s in samples]).astype(mask_t)
 
     # ----- EMA originals -----
     if "depth_label" in samples[0]:
@@ -240,7 +244,17 @@ def collate_padded(samples: List[Dict], point_budget: int,
     # ----- VGI inputs -----
     if "ori_points" in samples[0]:
         pts, vnum = stack_points("ori_points", 0, np.float32)
-        out["ori_points"] = pts
+        # int16 fixed-point wire: 5 mm xyz resolution (+-163 m, well under
+        # the 5 cm voxel and LiDAR noise), 2^-15 intensity; float32 fallback
+        # for out-of-range data. Decoded in-graph by decode_batch.
+        if (np.abs(pts[..., :3]).max(initial=0.0) < 163.0
+                and np.abs(pts[..., 3:]).max(initial=0.0) <= 1.0):
+            q = np.empty(pts.shape, np.int16)
+            q[..., :3] = np.rint(pts[..., :3] * 200.0)
+            q[..., 3:] = np.rint(pts[..., 3:] * 32000.0)
+            out["ori_points"] = q
+        else:
+            out["ori_points"] = pts
         out["ori_points_valid"] = np.arange(p)[None, :] < vnum[:, None]
         if "g_indices" in samples[0]:
             g, _ = stack_points("g_indices", 0, bool)

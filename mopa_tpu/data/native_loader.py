@@ -42,7 +42,7 @@ def _lib():
     lib.mopa_read_labels.restype = ctypes.c_int
     lib.mopa_voxel_dedup.restype = ctypes.c_int
     lib.mopa_augment_scale.restype = ctypes.c_int
-    if not hasattr(lib, "mopa_build_plan"):  # stale .so — rebuild once
+    if not hasattr(lib, "mopa_build_plan2"):  # stale .so — rebuild once
         script = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                           "..", "tools", "build_native.sh")
         try:
@@ -51,13 +51,13 @@ def _lib():
             lib = ctypes.CDLL(so)
         except Exception:
             return None
-        if not hasattr(lib, "mopa_build_plan"):
+        if not hasattr(lib, "mopa_build_plan2"):
             return None
         lib.mopa_read_scan.restype = ctypes.c_int
         lib.mopa_read_labels.restype = ctypes.c_int
         lib.mopa_voxel_dedup.restype = ctypes.c_int
         lib.mopa_augment_scale.restype = ctypes.c_int
-    lib.mopa_build_plan.restype = ctypes.c_int
+    lib.mopa_build_plan2.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -162,17 +162,23 @@ def voxel_dedup(coords: np.ndarray, capacity: int | None = None):
     return index[:u], inverse
 
 
+FIXUP_BUDGET = 256  # >255-deltas per sample; measured ~20 on LiDAR scans
+
+
 def build_plan_arrays(coords: np.ndarray, valid: np.ndarray,
                       capacities) -> dict | None:
     """Full per-sample UNet voxel plan on the host (C++), or None when the
     native library is unavailable (callers fall back to device builds).
 
-    Returns compact-dtype arrays bit-identical (after widening) to
-    ``scn_unet.build_unet_plan_batched``'s per-sample plans:
-    ``inverse (P,) i32``, ``counts (cap0,) i32``, ``nums (L,) i32``, and per
-    level ``ranks (cap_l*9,) i16`` (sentinel = cap_l), ``sel (cap_l*9,) i8``,
-    ``valid (cap_l,) u8``; per level >= 1 ``down (cap_l*8,) i16``,
-    ``f2c (cap_{l-1},) i16``, ``upoff (cap_{l-1},) i8``.
+    Returns the DELTA-COMPRESSED wire arrays (format v2, see
+    ``native/mopa_loader.cpp::mopa_build_plan2``) that
+    ``scn_unet.plan_from_host_arrays`` decodes in-graph into plans
+    bit-identical to ``scn_unet.build_unet_plan_batched``'s:
+    ``rankd (sum9,) u8`` + ``ebits (sum1,) u32`` (27 existence bits/voxel),
+    ``downd (sum8,) u8`` + ``downe (sum_{l>=1} cap_l,) u8``,
+    ``f2c (sumf,) i16`` (absolute — fine->coarse slots are not monotone),
+    ``upoff (sumf,) u8``, ``fix (F, 2) i32`` delta fixups,
+    ``inverse (P,) i32``, ``counts (cap0,) i32``, ``nums (L,) i32``.
     """
     lib = _lib()
     if lib is None:
@@ -188,23 +194,26 @@ def build_plan_arrays(coords: np.ndarray, valid: np.ndarray,
     sumf = int(caps[:-1].sum())
     inverse = np.empty(n, np.int32)
     counts = np.empty(int(caps[0]), np.int32)
-    ranks = np.empty(sum9, np.int16)
-    sel = np.empty(sum9, np.int8)
-    vvalid = np.empty(sum1, np.uint8)
-    down = np.empty(max(sum8, 1), np.int16)
+    rankd = np.empty(sum9, np.uint8)
+    ebits = np.empty(sum1, np.uint32)
+    downd = np.empty(max(sum8, 1), np.uint8)
+    downe = np.empty(max(int(caps[1:].sum()), 1), np.uint8)
     f2c = np.empty(max(sumf, 1), np.int16)
-    upoff = np.empty(max(sumf, 1), np.int8)
+    upoff = np.empty(max(sumf, 1), np.uint8)
+    fix = np.empty((FIXUP_BUDGET, 2), np.int32)
     nums = np.empty(nl, np.int32)
-    rc = lib.mopa_build_plan(
+    rc = lib.mopa_build_plan2(
         _ptr(coords, ctypes.c_int32), _ptr(valid_u8, ctypes.c_uint8),
         ctypes.c_int(n), ctypes.c_int(nl), _ptr(caps, ctypes.c_int32),
         _ptr(inverse, ctypes.c_int32), _ptr(counts, ctypes.c_int32),
-        _ptr(ranks, ctypes.c_int16), _ptr(sel, ctypes.c_int8),
-        _ptr(vvalid, ctypes.c_uint8), _ptr(down, ctypes.c_int16),
-        _ptr(f2c, ctypes.c_int16), _ptr(upoff, ctypes.c_int8),
+        _ptr(rankd, ctypes.c_uint8), _ptr(ebits, ctypes.c_uint32),
+        _ptr(downd, ctypes.c_uint8), _ptr(downe, ctypes.c_uint8),
+        _ptr(f2c, ctypes.c_int16), _ptr(upoff, ctypes.c_uint8),
+        _ptr(fix, ctypes.c_int32), ctypes.c_int(FIXUP_BUDGET),
         _ptr(nums, ctypes.c_int32))
     if rc != 0:
         return None
     return {"inverse": inverse, "counts": counts, "nums": nums,
-            "ranks": ranks, "sel": sel, "valid": vvalid,
-            "down": down[:sum8], "f2c": f2c[:sumf], "upoff": upoff[:sumf]}
+            "rankd": rankd, "ebits": ebits,
+            "downd": downd[:sum8], "downe": downe[:int(caps[1:].sum())],
+            "f2c": f2c[:sumf], "upoff": upoff[:sumf], "fix": fix}

@@ -194,51 +194,94 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
                     num_voxels=jnp.sum(nums_b, axis=0))
 
 
-HOST_PLAN_KEYS = ("ranks", "sel", "valid", "down", "f2c", "upoff",
-                  "inverse", "counts", "nums")
+HOST_PLAN_KEYS = ("rankd", "ebits", "downd", "downe", "f2c", "upoff",
+                  "inverse", "counts", "nums", "fix")
 
 
 def plan_from_host_arrays(arrs, capacities, num_levels: int,
                           sample_domains=None) -> UNetPlan:
-    """Assemble a UNetPlan from loader-shipped compact plan arrays (the
-    native C++ ``mopa_build_plan`` via ``collate_padded``'s ``hp_*`` keys).
+    """Decode loader-shipped DELTA-COMPRESSED plan arrays (wire format v2,
+    ``native/mopa_loader.cpp::mopa_build_plan2`` via ``collate_padded``'s
+    ``hp_*`` keys) into a UNetPlan bit-identical to
+    :func:`build_unet_plan_batched`'s output for the same samples.
 
-    The host builds each sample's plan bit-identically to
-    :func:`build_unet_plan_batched`'s per-sample stage; this function only
-    widens the compact dtypes and applies the same per-sample slot offsets —
-    a few elementwise passes instead of the per-level sort pipeline.
+    Per-column rank sequences and per-octant down maps are monotone (sorted
+    query keys merged into sorted tables), so the wire carries uint8 deltas
+    (misses hold the previous value — their gathered rows are dead, masked by
+    the dz-select codes) integrated back here with one cumsum per level; rare
+    >255 deltas arrive as (position, excess) fixups scatter-added first.
+    dz-select codes are recomputed from 27 packed existence bits per voxel;
+    per-level valid masks from the kept-voxel counts. ``f2c`` stays absolute
+    (component-wise halving does not preserve lexicographic order, so it is
+    NOT monotone). Net: ~37% fewer plan bytes over the host->device link
+    (the tunnel link is the e2e bottleneck) for a few cheap in-graph passes.
     """
     capacities = [int(c) for c in capacities]
-    ranks_b = jnp.asarray(arrs["ranks"])
-    s = ranks_b.shape[0]
+    rankd = jnp.asarray(arrs["rankd"])
+    s = rankd.shape[0]
+    sum9 = rankd.shape[1]
+    downd = jnp.asarray(arrs["downd"])
+    sum8 = downd.shape[1]
+    f2c_b = jnp.asarray(arrs["f2c"]).astype(jnp.int32)
 
-    def off(vals, cap, guard_neg):
-        o = (jnp.arange(s, dtype=jnp.int32) * cap).reshape(s, 1)
-        vals = vals.astype(jnp.int32)
-        if guard_neg:
-            return jnp.where(vals >= 0, vals + o, -1).reshape(-1)
-        return (vals + o).reshape(-1)
+    def apply_fixups(deltas, base, length):
+        """Scatter-add the (pos, excess) fixups that land in
+        [base, base + length) of the virtual [rankd|downd] space."""
+        fix = jnp.asarray(arrs["fix"]).astype(jnp.int32)  # (S, F, 2)
+        pos, extra = fix[..., 0], fix[..., 1]
+        local = pos - base
+        ok = (pos >= 0) & (local >= 0) & (local < length)
+        soff = (jnp.arange(s, dtype=jnp.int32) * length)[:, None]
+        flat_pos = jnp.where(ok, local + soff, 0)
+        flat = deltas.astype(jnp.int32).reshape(-1)
+        return flat.at[flat_pos.reshape(-1)].add(
+            jnp.where(ok, extra, 0).reshape(-1)).reshape(s, length)
+
+    rank_deltas = apply_fixups(rankd, 0, sum9)
+    down_deltas = apply_fixups(downd, sum9, sum8)
+    ebits = jnp.asarray(arrs["ebits"]).view(jnp.uint32).astype(jnp.int32)
+    upoff_b = jnp.asarray(arrs["upoff"]).astype(jnp.int32)
+    downe = jnp.asarray(arrs["downe"]).astype(jnp.int32)
+    nums_b = jnp.asarray(arrs["nums"]).astype(jnp.int32)  # (S, L)
+
+    def soff(cap):
+        return (jnp.arange(s, dtype=jnp.int32) * cap).reshape(s, 1, 1)
 
     levels = []
-    o9 = o1 = o8 = of = 0
+    o9 = o1 = o8 = of = oe = 0
     for l in range(num_levels):
         cap = capacities[l]
-        ranks = off(ranks_b[:, o9:o9 + cap * 9], cap, guard_neg=False)
-        sel = jnp.asarray(arrs["sel"])[:, o9:o9 + cap * 9].astype(
-            jnp.int32).reshape(-1)
-        valid_l = jnp.asarray(arrs["valid"])[:, o1:o1 + cap].astype(
-            bool).reshape(-1)
+        ranks = jnp.cumsum(
+            rank_deltas[:, o9:o9 + cap * 9].reshape(s, cap, 9), axis=1)
+        ranks = (ranks + soff(cap)).reshape(-1)
+        # dz-select codes from the three per-column existence bits (matches
+        # the e0/e1/e2 -> t formulas of sparse_conv.wide_from_nbr)
+        w = ebits[:, o1:o1 + cap, None]
+        shifts = 3 * jnp.arange(9, dtype=jnp.int32)
+        e0 = ((w >> shifts) & 1) == 1
+        e1 = ((w >> (shifts + 1)) & 1) == 1
+        e2 = ((w >> (shifts + 2)) & 1) == 1
+        t0 = jnp.where(e0, 0, jnp.where(e1, 1, jnp.where(e2, 2, 3)))
+        t1 = jnp.where(e0 & e1, 1, jnp.where((e0 | e1) & e2, 2, 3))
+        t2 = jnp.where(e0 & e1 & e2, 2, 3)
+        sel = (t0 + t1 * 4 + t2 * 16).reshape(-1)
+        valid_l = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+                   < nums_b[:, l][:, None]).reshape(-1)
         down = f2c = upoff = None
         if l >= 1:
             capf = capacities[l - 1]
-            down = off(jnp.asarray(arrs["down"])[:, o8:o8 + cap * 8], capf,
-                       guard_neg=True).reshape(-1, 8)
-            f2c = off(jnp.asarray(arrs["f2c"])[:, of:of + capf], cap,
-                      guard_neg=True)
-            upoff = jnp.asarray(arrs["upoff"])[:, of:of + capf].astype(
-                jnp.int32).reshape(-1)
+            dloc = jnp.cumsum(
+                down_deltas[:, o8:o8 + cap * 8].reshape(s, cap, 8), axis=1)
+            de = downe[:, oe:oe + cap, None]
+            dok = ((de >> jnp.arange(8, dtype=jnp.int32)) & 1) == 1
+            down = jnp.where(dok, dloc + soff(capf), -1).reshape(-1, 8)
+            fv = f2c_b[:, of:of + capf]
+            f2c = jnp.where(fv >= 0,
+                            fv + soff(cap).reshape(s, 1), -1).reshape(-1)
+            upoff = upoff_b[:, of:of + capf].reshape(-1)
             o8 += cap * 8
             of += capf
+            oe += cap
         dom = None
         if sample_domains is not None:
             dom = jnp.repeat(jnp.asarray(sample_domains, jnp.int32), cap)
@@ -247,9 +290,12 @@ def plan_from_host_arrays(arrs, capacities, num_levels: int,
                                 ranks=ranks, sel=sel))
         o9 += cap * 9
         o1 += cap
-    inverse = off(jnp.asarray(arrs["inverse"]), capacities[0], guard_neg=True)
+    cap0 = capacities[0]
+    inv = jnp.asarray(arrs["inverse"]).astype(jnp.int32)
+    ioff = (jnp.arange(s, dtype=jnp.int32) * cap0).reshape(s, 1)
+    inverse = jnp.where(inv >= 0, inv + ioff, -1).reshape(-1)
     counts = jnp.asarray(arrs["counts"]).astype(jnp.int32).reshape(-1)
-    nums = jnp.sum(jnp.asarray(arrs["nums"]).astype(jnp.int32), axis=0)
+    nums = jnp.sum(nums_b, axis=0)
     return UNetPlan(levels=tuple(levels), point_inverse=inverse,
                     point_counts=counts, num_voxels=nums)
 

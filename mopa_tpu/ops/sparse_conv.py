@@ -335,6 +335,10 @@ def _wide_gather_align(feats: jax.Array, plan: WidePlan) -> jax.Array:
     (V, 9, 3, C) temps would be tile-padded ~14x on TPU."""
     v = plan.ranks.shape[0] // 9
     cin = feats.shape[1]
+    # NOTE: a flat-operand overlapping slice gather (slice_sizes=(3C,) at
+    # starts ranks*C, eliminating this windowed-concat materialisation)
+    # reproducibly CRASHED the v5e TPU worker at production shapes — keep
+    # the (V+1, 3C) shifted-concat form.
     zero = jnp.zeros((2, cin), feats.dtype)
     fp = jnp.concatenate([feats, zero])
     feats_w = jnp.concatenate([fp[:v], fp[1:v + 1], fp[2:v + 2]], axis=1)
@@ -343,17 +347,25 @@ def _wide_gather_align(feats: jax.Array, plan: WidePlan) -> jax.Array:
     t0 = plan.sel & 3
     t1 = (plan.sel >> 2) & 3
     t2 = (plan.sel >> 4) & 3
-    parts = []
-    # dz slot t can only be fed by gathered subrows j <= t (window codes are
-    # strictly increasing: t_j >= j), so the select matrix is lower-triangular
-    # — 6 masked adds instead of 9.
-    for t in range(3):
-        acc = jnp.zeros((v * 9, cin), feats.dtype)
-        for j, tj in enumerate((t0, t1, t2)[:t + 1]):
-            m = (tj == t).astype(feats.dtype)[:, None]
-            acc = acc + m * g[:, j * cin:(j + 1) * cin]
-        parts.append(acc)
-    aligned = jnp.concatenate(parts, axis=1)          # (V*9, 3C) dz-ordered
+    # dz slot t can only be fed by gathered subrow j <= t (window codes are
+    # strictly increasing: t_j >= j). Group the 6 (t, j) pairs by the lane
+    # shift s = t - j: aligned = m0*g + m1*(g >> C lanes) + m2*(g >> 2C) —
+    # three FULL-WIDTH masked adds XLA fuses into one pass, instead of six
+    # C-wide ops on lane-padded narrow slices (measured ~108 ms/step).
+    sh1 = jnp.pad(g[:, :2 * cin], ((0, 0), (cin, 0)))        # subrow j -> j+1
+    sh2 = jnp.pad(g[:, :cin], ((0, 0), (2 * cin, 0)))        # subrow j -> j+2
+    # masks as pure rank-2 broadcasts ((V9, 1) codes x (1, 3C) lane slots) so
+    # XLA keeps them virtual inside the fusion — stacked/repeated mask arrays
+    # materialised (V9, 3, C) temps and OOM'd at batch 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * cin), 1) // cin
+    t0c, t1c, t2c = t0[:, None], t1[:, None], t2[:, None]
+    m0 = jnp.where(lane == 0, t0c == 0, jnp.where(lane == 1, t1c == 1,
+                                                  t2c == 2))
+    m1 = jnp.where(lane == 1, t0c == 1,
+                   jnp.where(lane == 2, t1c == 2, False))
+    m2 = (lane == 2) & (t0c == 2)
+    dt = feats.dtype
+    aligned = (m0.astype(dt) * g + m1.astype(dt) * sh1 + m2.astype(dt) * sh2)
     return aligned.reshape(v, 27 * cin)
 
 
@@ -372,22 +384,34 @@ def _submanifold_conv_wide(feats, weight, ranks, sel):
 
 def _wide_fwd(feats, weight, ranks, sel):
     out, _ = _wide_fwd_impl(feats, weight, WidePlan(ranks, sel))
-    return out, (feats, weight, ranks, sel)  # aligned rematerialised in bwd
+    # residuals: only the small inputs — the bwd gathers the COTANGENT once
+    # and needs neither the (V, 27C) aligned array nor a feats re-gather
+    return out, (feats, weight, ranks, sel)
 
 
 def _wide_bwd(res, g):
-    """Scatter-free: d_feats is the SAME wide conv of the cotangent with
-    mirrored, transposed weights (u is v's neighbour at o iff v is u's at -o
-    and kernel_offsets enumerates symmetrically)."""
+    """Scatter-free AND single-gather: d_feats is the SAME wide conv of the
+    cotangent with mirrored, transposed weights (u is v's neighbour at o iff
+    v is u's at -o and kernel_offsets enumerates symmetrically), and d_w
+    reuses THAT aligned cotangent instead of re-gathering the forward input:
+
+        d_w[k] = sum_v feats[nbr(v,k)] g[v]^T            (definition)
+               = sum_u feats[u] g[nbr(u, K-1-k)]^T       (mirror substitution)
+               = feats^T @ aligned_g[:, block K-1-k]
+
+    so the backward runs ONE window gather+align (of g) where it previously
+    ran two (re-gathering feats for d_w was ~1/3 of all step gather time).
+    """
     feats, weight, ranks, sel = res
     k, cin, cout = weight.shape
     g = g.astype(feats.dtype)
-    _, aligned = _wide_fwd_impl(feats, weight, WidePlan(ranks, sel))
-    d_w = jnp.dot(aligned.T, g, preferred_element_type=jnp.float32)
-    d_w = d_w.reshape(k, cin, cout).astype(weight.dtype)
-    w_bwd = jnp.transpose(weight[::-1], (0, 2, 1))  # (K, Cout, Cin)
-    d_feats, _ = _wide_fwd_impl(g, w_bwd, WidePlan(ranks, sel))
-    return d_feats.astype(feats.dtype), d_w, None, None
+    aligned_g = _wide_gather_align(g, WidePlan(ranks, sel))  # (V, 27*Cout)
+    w_bwd = jnp.transpose(weight[::-1], (0, 2, 1)).reshape(k * cout, cin)
+    d_feats = jnp.dot(aligned_g, w_bwd.astype(g.dtype),
+                      preferred_element_type=g.dtype)
+    p = jnp.dot(feats.T, aligned_g, preferred_element_type=jnp.float32)
+    d_w = p.reshape(cin, k, cout)[:, ::-1, :].transpose(1, 0, 2)
+    return d_feats.astype(feats.dtype), d_w.astype(weight.dtype), None, None
 
 
 _submanifold_conv_wide.defvjp(_wide_fwd, _wide_bwd)
@@ -498,16 +522,17 @@ def _submanifold_bwd(res, g):
     feats, weight, nbr = res
     k, cin, cout = weight.shape
     g = g.astype(feats.dtype)
-    gathered = _gather_concat(feats, nbr)
-    # d_weight[k] = gathered_k^T @ g  -> one (K*Cin, V) x (V, Cout) GEMM
-    d_w = jnp.dot(gathered.T, g, preferred_element_type=jnp.float32)
-    d_w = d_w.reshape(k, cin, cout).astype(weight.dtype)
     # d_feats[u] = sum_k g[nbr[u, K-1-k]] @ weight[k]^T
     nbr_rev = nbr[:, ::-1]
-    g_gathered = _gather_concat(g, nbr_rev)  # (V, K*Cout)
+    g_gathered = _gather_concat(g, nbr_rev)  # (V, K*Cout), block k mirrored
     w_t = jnp.transpose(weight, (0, 2, 1)).reshape(k * cout, cin)
     d_feats = jnp.dot(g_gathered, w_t.astype(g.dtype),
                       preferred_element_type=feats.dtype)
+    # d_w[k] = sum_v feats[nbr(v,k)] g[v]^T = sum_u feats[u] g[nbr(u,K-1-k)]^T
+    # = feats^T @ g_gathered block k — reuses the mirrored cotangent gather
+    # instead of re-gathering feats (halves backward gather volume)
+    p = jnp.dot(feats.T, g_gathered, preferred_element_type=jnp.float32)
+    d_w = p.reshape(cin, k, cout).transpose(1, 0, 2).astype(weight.dtype)
     return d_feats.astype(feats.dtype), d_w, None
 
 
@@ -680,8 +705,12 @@ def batch_norm_act(feats: jax.Array, valid: jax.Array, scale: jax.Array,
         counts = jnp.sum(onehot, axis=0)                       # (D,)
         denom = jnp.maximum(counts, 1.0)[:, None]
         mean = (onehot.T @ f32) / denom                        # (D, C)
-        dom_c = jnp.clip(dom, 0, d - 1)
-        centered = f32 - mean[dom_c]
+        # broadcast per-domain stats back to voxels via onehot GEMMs, NOT
+        # mean[dom] gathers: a take's VJP is a scatter-add over V rows
+        # (~5.5 M rows/s on TPU — measured ~70 ms/step across the UNet's
+        # BNs), while the GEMM transposes to another GEMM on the MXU.
+        mean_v = onehot @ mean                                 # (V, C)
+        centered = f32 - mean_v
         var = (onehot.T @ jnp.square(centered)) / denom        # (D, C)
         rm, rv = state.running_mean, state.running_var
         for i in range(d):  # sequential per-domain running update
@@ -691,7 +720,7 @@ def batch_norm_act(feats: jax.Array, valid: jax.Array, scale: jax.Array,
             rv = mom_i * rv + (1.0 - mom_i) * var[i]
         new_state = BNState(running_mean=rm, running_var=rv)
         inv = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)[None, :]
-        out = centered * inv[dom_c] + bias.astype(jnp.float32)
+        out = centered * (onehot @ inv) + bias.astype(jnp.float32)
     if act:
         if leakiness > 0.0:
             out = jnp.where(out >= 0, out, leakiness * out)

@@ -127,6 +127,10 @@ def decode_batch(batch):
     for k in _WIRE_FLOAT_KEYS:
         if k in out and out[k].dtype != jnp.float32:
             out[k] = out[k].astype(jnp.float32)
+    if "ori_points" in out and out["ori_points"].dtype == jnp.int16:
+        q = out["ori_points"].astype(jnp.float32)
+        out["ori_points"] = jnp.concatenate(
+            [q[..., :3] * 0.005, q[..., 3:] * (1.0 / 32000.0)], axis=-1)
     if "point_valid" in out:
         b, p = out["point_valid"].shape
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)

@@ -289,7 +289,7 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         small logit shifts change labels only near the confidence cutoff."""
         b, p = batch_trg["ori_img_indices"].shape[:2]
         ori_valid = batch_trg["ori_point_valid"]
-        if use_host_plans and "hp_ori_ranks" in batch_trg:
+        if use_host_plans and "hp_ori_rankd" in batch_trg:
             plan = plan_from_host_arrays(
                 {k: batch_trg["hp_ori_" + k] for k in HOST_PLAN_KEYS},
                 _capacities(cfg, p), _num_levels(cfg))
@@ -533,8 +533,8 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
                 [batch_src["point_valid"].reshape(-1),
                  batch_trg["point_valid"].reshape(-1)]).reshape(2 * b, p)
             st_doms = np.repeat(np.arange(2, dtype=np.int32), b)
-            if use_host_plans and "hp_ranks" in batch_src \
-                    and "hp_ranks" in batch_trg:
+            if use_host_plans and "hp_rankd" in batch_src \
+                    and "hp_rankd" in batch_trg:
                 # plans were built by the native loader on the host,
                 # overlapped with the previous step's device compute
                 arrs = {k: jnp.concatenate([batch_src["hp_" + k],

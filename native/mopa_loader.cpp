@@ -212,24 +212,67 @@ void voxelize_level(const int32_t* coords, const uint8_t* valid, int n,
 
 }  // namespace
 
-// Build the full plan. Layout of flat output buffers (caller-allocated):
-//   ranks:  sum_l cap_l * 9   int16 (sentinel = cap_l)
-//   sel:    sum_l cap_l * 9   int8  (packed dz codes, 3 = invalid)
-//   vvalid: sum_l cap_l       uint8
-//   down:   sum_{l>=1} cap_l * 8   int16 (-1 miss)
-//   f2c:    sum_{l>=1} cap_{l-1}   int16 (-1 invalid/overflow)
-//   upoff:  sum_{l>=1} cap_{l-1}   int8
-//   nums:   num_levels int32 (active voxels per level, pre-clamp diagnostics)
+// Build the full plan, DELTA-COMPRESSED for the wire (format v2).
+//
+// Per-offset rank/slot sequences are non-decreasing (sorted query keys merged
+// into sorted tables), so they ship as uint8 deltas the device integrates
+// back with one cumsum; misses hold the previous value (the gathered row is
+// dead — the dz-select codes already mask it) so monotonicity never breaks.
+// The rare deltas > 255 (x/y plane transitions; measured ~20 per 16k-point
+// LiDAR sample) go to a fixed-budget fixup list of (flat position, excess)
+// pairs the device scatter-adds before the cumsum. The dz-select codes
+// themselves are pure functions of the three per-column existence bits, so
+// 27 packed bits per voxel replace the 9 int8 sel codes, and the per-level
+// valid mask is just slot < nums[l].
+//
+// Layout of flat output buffers (caller-allocated):
+//   rankd:  sum_l cap_l * 9          uint8 deltas (row-major (cap, 9))
+//   ebits:  sum_l cap_l              uint32, bit 3c+j = neighbour (c, dz=j-1)
+//   downd:  sum_{l>=1} cap_l * 8     uint8 deltas
+//   downe:  sum_{l>=1} cap_l         uint8, bit o = child o exists
+//   f2c:    sum_{l>=1} cap_{l-1}     int16 (-1 invalid; NOT delta-coded:
+//                                    component-wise halving does not preserve
+//                                    lexicographic order, so fine->coarse
+//                                    slots are not monotone)
+//   upoff:  sum_{l>=1} cap_{l-1}     uint8 child octant
+//   fix:    (fix_cap, 2) int32 [pos, excess]; pos indexes the virtual
+//           concatenation [rankd | downd]; unused rows get pos = -1
+//   nums:   num_levels int32 (kept voxels per level)
 //   inverse: (n,) int32; counts: (cap_0,) int32
-// Returns 0 on success, -1 on bad arguments.
-int mopa_build_plan(const int32_t* coords, const uint8_t* valid, int n,
-                    int num_levels, const int32_t* caps, int32_t* inverse,
-                    int32_t* counts, int16_t* ranks, int8_t* sel,
-                    uint8_t* vvalid, int16_t* down, int16_t* f2c,
-                    int8_t* upoff, int32_t* nums) {
-    if (n <= 0 || num_levels <= 0) return -1;
-    for (int l = 0; l < num_levels; ++l)
+// Returns 0 on success, -1 on bad arguments, -2 on fixup overflow.
+int mopa_build_plan2(const int32_t* coords, const uint8_t* valid, int n,
+                     int num_levels, const int32_t* caps, int32_t* inverse,
+                     int32_t* counts, uint8_t* rankd, uint32_t* ebits,
+                     uint8_t* downd, uint8_t* downe, int16_t* f2c,
+                     uint8_t* upoff, int32_t* fix, int fix_cap,
+                     int32_t* nums) {
+    if (n <= 0 || num_levels <= 0 || fix_cap <= 0) return -1;
+    size_t sum9 = 0, sum8 = 0;
+    for (int l = 0; l < num_levels; ++l) {
         if (caps[l] <= 0 || caps[l] > 32767) return -1;  // int16 slot range
+        sum9 += (size_t)caps[l] * 9;
+        if (l >= 1) sum8 += (size_t)caps[l] * 8;
+    }
+    int n_fix = 0;
+    for (int i = 0; i < fix_cap; ++i) {
+        fix[i * 2] = -1;
+        fix[i * 2 + 1] = 0;
+    }
+    auto emit = [&](uint8_t* dst, size_t pos_base, size_t i, int32_t cur,
+                    int32_t* prev) -> bool {
+        const int32_t d = cur - *prev;
+        *prev = cur;
+        if (d <= 255) {
+            dst[i] = (uint8_t)d;
+            return true;
+        }
+        dst[i] = 255;
+        if (n_fix >= fix_cap) return false;
+        fix[n_fix * 2] = (int32_t)(pos_base + i);
+        fix[n_fix * 2 + 1] = d - 255;
+        ++n_fix;
+        return true;
+    };
 
     Level cur;
     std::vector<int32_t> lvl_inverse((size_t)n);
@@ -242,9 +285,6 @@ int mopa_build_plan(const int32_t* coords, const uint8_t* valid, int n,
         const int cap = caps[l];
         const int v = cur.num;
         nums[l] = v;
-
-        // valid mask
-        for (int i = 0; i < cap; ++i) vvalid[off1 + i] = i < v ? 1 : 0;
 
         // exact 27-neighbour map via per-offset two-pointer merges: the
         // query stream key+delta of a sorted table is itself sorted, so each
@@ -278,20 +318,28 @@ int mopa_build_plan(const int32_t* coords, const uint8_t* valid, int n,
                     }
         }
 
-        // wide-column ranks/sel (matches sparse_conv.wide_from_nbr exactly)
-        for (int i = 0; i < cap; ++i) {
-            for (int c = 0; c < 9; ++c) {
-                const int32_t s0 = nbr[(size_t)i * 27 + 3 * c];
-                const int32_t s1 = nbr[(size_t)i * 27 + 3 * c + 1];
-                const int32_t s2 = nbr[(size_t)i * 27 + 3 * c + 2];
-                const bool e0 = s0 >= 0, e1 = s1 >= 0, e2 = s2 >= 0;
-                const int32_t r = e0 ? s0 : (e1 ? s1 : (e2 ? s2 : cap));
-                const int t0 = e0 ? 0 : (e1 ? 1 : (e2 ? 2 : 3));
-                const int t1 = (e0 && e1) ? 1 : (((e0 || e1) && e2) ? 2 : 3);
-                const int t2 = (e0 && e1 && e2) ? 2 : 3;
-                ranks[off9 + (size_t)i * 9 + c] = (int16_t)r;
-                sel[off9 + (size_t)i * 9 + c] =
-                    (int8_t)(t0 | (t1 << 2) | (t2 << 4));
+        // wide-column rank deltas + packed existence bits (decoded sel codes
+        // match sparse_conv.wide_from_nbr exactly)
+        {
+            int32_t prev[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+            for (int i = 0; i < cap; ++i) {
+                uint32_t w = 0;
+                for (int c = 0; c < 9; ++c) {
+                    int32_t r = prev[c];
+                    if (i < v) {
+                        const int32_t s0 = nbr[(size_t)i * 27 + 3 * c];
+                        const int32_t s1 = nbr[(size_t)i * 27 + 3 * c + 1];
+                        const int32_t s2 = nbr[(size_t)i * 27 + 3 * c + 2];
+                        w |= (uint32_t)(s0 >= 0) << (3 * c);
+                        w |= (uint32_t)(s1 >= 0) << (3 * c + 1);
+                        w |= (uint32_t)(s2 >= 0) << (3 * c + 2);
+                        r = s0 >= 0 ? s0 : (s1 >= 0 ? s1 : (s2 >= 0 ? s2 : r));
+                    }
+                    if (!emit(rankd + off9, off9, (size_t)i * 9 + c, r,
+                              &prev[c]))
+                        return -2;
+                }
+                ebits[off1 + i] = w;
             }
         }
         off9 += (size_t)cap * 9;
@@ -313,19 +361,35 @@ int mopa_build_plan(const int32_t* coords, const uint8_t* valid, int n,
             lvl_inverse.assign((size_t)cap, -1);
             voxelize_level(half.data(), hvalid.data(), cap, ccap, &coarse,
                            lvl_inverse.data(), nullptr);
-            // f2c / up_off / down_nbr
-            for (int i = 0; i < (int)((size_t)ccap * 8); ++i)
-                down[off8 + i] = -1;
+            const int cv = coarse.num;
+            // dense (ccap, 8) child map, then delta-encode per octant column
+            std::vector<int32_t> dn((size_t)ccap * 8, -1);
+            // f2c / up_off
             for (int i = 0; i < cap; ++i) {
                 const int32_t c = i < v ? lvl_inverse[i] : -1;
-                f2c[offf + i] = (int16_t)c;
                 int o = 0;
                 if (i < v)
                     o = ((cur.coords[i * 3] & 1) << 2) |
                         ((cur.coords[i * 3 + 1] & 1) << 1) |
                         (cur.coords[i * 3 + 2] & 1);
-                upoff[offf + i] = (int8_t)o;
-                if (c >= 0) down[off8 + (size_t)c * 8 + o] = (int16_t)i;
+                upoff[offf + i] = (uint8_t)o;
+                f2c[offf + i] = (int16_t)c;
+                if (c >= 0) dn[(size_t)c * 8 + o] = i;
+            }
+            {
+                int32_t prevd[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+                for (int i = 0; i < ccap; ++i) {
+                    uint8_t e = 0;
+                    for (int o = 0; o < 8; ++o) {
+                        const int32_t d =
+                            i < cv ? dn[(size_t)i * 8 + o] : -1;
+                        e |= (uint8_t)(d >= 0) << o;
+                        if (!emit(downd + off8, sum9 + off8, (size_t)i * 8 + o,
+                                  d >= 0 ? d : prevd[o], &prevd[o]))
+                            return -2;
+                    }
+                    downe[off8 / 8 + i] = e;
+                }
             }
             off8 += (size_t)ccap * 8;
             offf += (size_t)cap;
