@@ -140,8 +140,8 @@ def _host_plan_batch(out: Dict, b: int, p: int, capacities, prefix: str,
     compact = {}
     if _int16_ok(p, int(max(capacities))):
         compact = {"inverse": np.int16, "counts": np.int16}
-    for key in ("rankd", "ebits", "downd", "downe", "f2c", "upoff",
-                "inverse", "counts", "nums", "fix"):
+    for key in ("rankn", "ebits", "cbits", "downn", "downe", "f2c",
+                "upoffn", "inverse", "counts", "nums", "fix"):
         stacked = np.stack([h[key] for h in per])
         out[prefix + key] = stacked.astype(compact.get(key, stacked.dtype))
 

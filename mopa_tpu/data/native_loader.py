@@ -42,7 +42,7 @@ def _lib():
     lib.mopa_read_labels.restype = ctypes.c_int
     lib.mopa_voxel_dedup.restype = ctypes.c_int
     lib.mopa_augment_scale.restype = ctypes.c_int
-    if not hasattr(lib, "mopa_build_plan2"):  # stale .so — rebuild once
+    if not hasattr(lib, "mopa_build_plan3"):  # stale .so — rebuild once
         script = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                           "..", "tools", "build_native.sh")
         try:
@@ -51,13 +51,13 @@ def _lib():
             lib = ctypes.CDLL(so)
         except Exception:
             return None
-        if not hasattr(lib, "mopa_build_plan2"):
+        if not hasattr(lib, "mopa_build_plan3"):
             return None
         lib.mopa_read_scan.restype = ctypes.c_int
         lib.mopa_read_labels.restype = ctypes.c_int
         lib.mopa_voxel_dedup.restype = ctypes.c_int
         lib.mopa_augment_scale.restype = ctypes.c_int
-    lib.mopa_build_plan2.restype = ctypes.c_int
+    lib.mopa_build_plan3.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -162,7 +162,10 @@ def voxel_dedup(coords: np.ndarray, capacity: int | None = None):
     return index[:u], inverse
 
 
-FIXUP_BUDGET = 256  # >255-deltas per sample; measured ~20 on LiDAR scans
+# nibble deltas saturate at 15 -> fixup entry; measured ~6k (unrotated) to ~10k (augmented) >14-deltas per
+# 16k-point LiDAR-geometry sample, so 16384 leaves headroom (overflow
+# returns None and the caller falls back to device-side plan builds)
+FIXUP_BUDGET = 16384
 
 
 def build_plan_arrays(coords: np.ndarray, valid: np.ndarray,
@@ -170,14 +173,21 @@ def build_plan_arrays(coords: np.ndarray, valid: np.ndarray,
     """Full per-sample UNet voxel plan on the host (C++), or None when the
     native library is unavailable (callers fall back to device builds).
 
-    Returns the DELTA-COMPRESSED wire arrays (format v2, see
-    ``native/mopa_loader.cpp::mopa_build_plan2``) that
+    Returns the DELTA-COMPRESSED wire arrays (format v3, see
+    ``native/mopa_loader.cpp::mopa_build_plan3``) that
     ``scn_unet.plan_from_host_arrays`` decodes in-graph into plans
     bit-identical to ``scn_unet.build_unet_plan_batched``'s:
-    ``rankd (sum9,) u8`` + ``ebits (sum1,) u32`` (27 existence bits/voxel),
-    ``downd (sum8,) u8`` + ``downe (sum_{l>=1} cap_l,) u8``,
-    ``f2c (sumf,) i16`` (absolute — fine->coarse slots are not monotone),
-    ``upoff (sumf,) u8``, ``fix (F, 2) i32`` delta fixups,
+    ``rankn (ceil(sum1*8/2),) u8`` — nibble-packed rank deltas of the 8
+    NON-CENTER columns (the center column is rank = slot - e0, recomputed
+    on device from the existence bits);
+    ``ebits (sum1*3,) u8`` (24 non-center existence bits/voxel) +
+    ``cbits (sum_l ceil(cap_l/8),) u8`` (the center column's dz=-1 bit;
+    its dz=0 bit is slot < nums and its dz=+1 bit is the next row's dz=-1);
+    ``downn (sum8/2,) u8`` nibbles + ``downe (sum_{l>=1} cap_l,) u8``;
+    ``f2c (sumf,) i16`` (absolute — fine->coarse slots are not monotone);
+    ``upoffn (ceil(sumf/2),) u8`` nibble-packed octants;
+    ``fix (F,) i32`` nibble-saturation fixups, packed (pos << 11) | excess
+    with excesses > 2047 split across same-pos entries (scatter-add sums);
     ``inverse (P,) i32``, ``counts (cap0,) i32``, ``nums (L,) i32``.
     """
     lib = _lib()
@@ -188,32 +198,36 @@ def build_plan_arrays(coords: np.ndarray, valid: np.ndarray,
     coords = np.ascontiguousarray(coords, np.int32)
     valid_u8 = np.ascontiguousarray(valid, np.uint8)
     n = coords.shape[0]
-    sum9 = int(caps.sum()) * 9
     sum1 = int(caps.sum())
     sum8 = int(caps[1:].sum()) * 8
     sumf = int(caps[:-1].sum())
+    sumc = int(sum((int(c) + 7) // 8 for c in caps))
     inverse = np.empty(n, np.int32)
     counts = np.empty(int(caps[0]), np.int32)
-    rankd = np.empty(sum9, np.uint8)
-    ebits = np.empty(sum1, np.uint32)
-    downd = np.empty(max(sum8, 1), np.uint8)
+    rankn = np.empty((sum1 * 8 + 1) // 2, np.uint8)
+    ebits = np.empty(sum1 * 3, np.uint8)
+    cbits = np.empty(sumc, np.uint8)
+    downn = np.empty(max((sum8 + 1) // 2, 1), np.uint8)
     downe = np.empty(max(int(caps[1:].sum()), 1), np.uint8)
     f2c = np.empty(max(sumf, 1), np.int16)
-    upoff = np.empty(max(sumf, 1), np.uint8)
-    fix = np.empty((FIXUP_BUDGET, 2), np.int32)
+    upoffn = np.empty(max((sumf + 1) // 2, 1), np.uint8)
+    fix = np.empty(FIXUP_BUDGET, np.int32)
     nums = np.empty(nl, np.int32)
-    rc = lib.mopa_build_plan2(
+    rc = lib.mopa_build_plan3(
         _ptr(coords, ctypes.c_int32), _ptr(valid_u8, ctypes.c_uint8),
         ctypes.c_int(n), ctypes.c_int(nl), _ptr(caps, ctypes.c_int32),
         _ptr(inverse, ctypes.c_int32), _ptr(counts, ctypes.c_int32),
-        _ptr(rankd, ctypes.c_uint8), _ptr(ebits, ctypes.c_uint32),
-        _ptr(downd, ctypes.c_uint8), _ptr(downe, ctypes.c_uint8),
-        _ptr(f2c, ctypes.c_int16), _ptr(upoff, ctypes.c_uint8),
+        _ptr(rankn, ctypes.c_uint8), _ptr(ebits, ctypes.c_uint8),
+        _ptr(cbits, ctypes.c_uint8),
+        _ptr(downn, ctypes.c_uint8), _ptr(downe, ctypes.c_uint8),
+        _ptr(f2c, ctypes.c_int16), _ptr(upoffn, ctypes.c_uint8),
         _ptr(fix, ctypes.c_int32), ctypes.c_int(FIXUP_BUDGET),
         _ptr(nums, ctypes.c_int32))
     if rc != 0:
         return None
     return {"inverse": inverse, "counts": counts, "nums": nums,
-            "rankd": rankd, "ebits": ebits,
-            "downd": downd[:sum8], "downe": downe[:int(caps[1:].sum())],
-            "f2c": f2c[:sumf], "upoff": upoff[:sumf], "fix": fix}
+            "rankn": rankn, "ebits": ebits, "cbits": cbits,
+            "downn": downn[:(sum8 + 1) // 2],
+            "downe": downe[:int(caps[1:].sum())],
+            "f2c": f2c[:sumf], "upoffn": upoffn[:(sumf + 1) // 2],
+            "fix": fix}

@@ -194,53 +194,67 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
                     num_voxels=jnp.sum(nums_b, axis=0))
 
 
-HOST_PLAN_KEYS = ("rankd", "ebits", "downd", "downe", "f2c", "upoff",
-                  "inverse", "counts", "nums", "fix")
+HOST_PLAN_KEYS = ("rankn", "ebits", "cbits", "downn", "downe", "f2c",
+                  "upoffn", "inverse", "counts", "nums", "fix")
 
 
 def plan_from_host_arrays(arrs, capacities, num_levels: int,
                           sample_domains=None) -> UNetPlan:
-    """Decode loader-shipped DELTA-COMPRESSED plan arrays (wire format v2,
-    ``native/mopa_loader.cpp::mopa_build_plan2`` via ``collate_padded``'s
+    """Decode loader-shipped DELTA-COMPRESSED plan arrays (wire format v3,
+    ``native/mopa_loader.cpp::mopa_build_plan3`` via ``collate_padded``'s
     ``hp_*`` keys) into a UNetPlan bit-identical to
     :func:`build_unet_plan_batched`'s output for the same samples.
 
     Per-column rank sequences and per-octant down maps are monotone (sorted
-    query keys merged into sorted tables), so the wire carries uint8 deltas
-    (misses hold the previous value — their gathered rows are dead, masked by
-    the dz-select codes) integrated back here with one cumsum per level; rare
-    >255 deltas arrive as (position, excess) fixups scatter-added first.
-    dz-select codes are recomputed from 27 packed existence bits per voxel;
-    per-level valid masks from the kept-voxel counts. ``f2c`` stays absolute
-    (component-wise halving does not preserve lexicographic order, so it is
-    NOT monotone). Net: ~37% fewer plan bytes over the host->device link
-    (the tunnel link is the e2e bottleneck) for a few cheap in-graph passes.
+    query keys merged into sorted tables), so the wire carries 4-BIT deltas
+    (73% zeros, 99.2% <= 14 measured; misses hold the previous value — their
+    gathered rows are dead, masked by the dz-select codes) integrated back
+    here with one cumsum per level; deltas > 14 saturate to 15 and arrive as
+    (position, excess) fixups scatter-added first. The CENTER xy-column is
+    not on the wire at all: a voxel is always its own dz=0 neighbour and its
+    dz=-1 neighbour, when present, is the immediately preceding table row,
+    so rank = slot - e0. dz-select codes are recomputed from 27 packed
+    existence bits per voxel; per-level valid masks from the kept-voxel
+    counts. ``f2c`` stays absolute (component-wise halving does not preserve
+    lexicographic order, so it is NOT monotone); octants ride as nibbles.
+    Net: ~56% fewer plan bytes over the host->device link (the tunnel link
+    is the e2e bottleneck) for a few cheap in-graph passes.
     """
     capacities = [int(c) for c in capacities]
-    rankd = jnp.asarray(arrs["rankd"])
-    s = rankd.shape[0]
-    sum9 = rankd.shape[1]
-    downd = jnp.asarray(arrs["downd"])
-    sum8 = downd.shape[1]
+    nibs = {}
+    for key in ("rankn", "downn", "upoffn"):
+        packed = jnp.asarray(arrs[key])
+        lo = (packed & 15).astype(jnp.int32)
+        hi = (packed >> 4).astype(jnp.int32)
+        nibs[key] = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
+    s = nibs["rankn"].shape[0]
+    sum1 = sum(capacities)
+    sum8r = sum1 * 8
+    sum8d = sum(capacities[1:]) * 8
     f2c_b = jnp.asarray(arrs["f2c"]).astype(jnp.int32)
 
     def apply_fixups(deltas, base, length):
-        """Scatter-add the (pos, excess) fixups that land in
-        [base, base + length) of the virtual [rankd|downd] space."""
-        fix = jnp.asarray(arrs["fix"]).astype(jnp.int32)  # (S, F, 2)
-        pos, extra = fix[..., 0], fix[..., 1]
+        """Scatter-add the packed (pos << 11 | excess) fixups that land in
+        [base, base + length) of the virtual unpacked [rankn|downn] space.
+        Excesses > 2047 arrive as several same-pos entries; the add sums."""
+        fix = jnp.asarray(arrs["fix"]).astype(jnp.int32)  # (S, F)
+        pos, extra = fix >> 11, fix & 2047
         local = pos - base
-        ok = (pos >= 0) & (local >= 0) & (local < length)
+        ok = (fix >= 0) & (local >= 0) & (local < length)
         soff = (jnp.arange(s, dtype=jnp.int32) * length)[:, None]
         flat_pos = jnp.where(ok, local + soff, 0)
         flat = deltas.astype(jnp.int32).reshape(-1)
         return flat.at[flat_pos.reshape(-1)].add(
             jnp.where(ok, extra, 0).reshape(-1)).reshape(s, length)
 
-    rank_deltas = apply_fixups(rankd, 0, sum9)
-    down_deltas = apply_fixups(downd, sum9, sum8)
-    ebits = jnp.asarray(arrs["ebits"]).view(jnp.uint32).astype(jnp.int32)
-    upoff_b = jnp.asarray(arrs["upoff"]).astype(jnp.int32)
+    rank_deltas = apply_fixups(nibs["rankn"][:, :sum8r], 0, sum8r)
+    down_deltas = apply_fixups(nibs["downn"][:, :sum8d], sum8r, sum8d)
+    eb = jnp.asarray(arrs["ebits"]).astype(jnp.int32)  # (S, sum1*3) bytes
+    w24 = (eb[:, 0::3] | (eb[:, 1::3] << 8) | (eb[:, 2::3] << 16))
+    cb = jnp.asarray(arrs["cbits"]).astype(jnp.int32)
+    cbit_all = ((cb[:, :, None] >> jnp.arange(8, dtype=jnp.int32)) & 1
+                ).reshape(s, -1)
+    upoff_b = nibs["upoffn"]
     downe = jnp.asarray(arrs["downe"]).astype(jnp.int32)
     nums_b = jnp.asarray(arrs["nums"]).astype(jnp.int32)  # (S, L)
 
@@ -248,25 +262,43 @@ def plan_from_host_arrays(arrs, capacities, num_levels: int,
         return (jnp.arange(s, dtype=jnp.int32) * cap).reshape(s, 1, 1)
 
     levels = []
-    o9 = o1 = o8 = of = oe = 0
+    o8r = o1 = o8 = of = oe = oc = 0
     for l in range(num_levels):
         cap = capacities[l]
-        ranks = jnp.cumsum(
-            rank_deltas[:, o9:o9 + cap * 9].reshape(s, cap, 9), axis=1)
+        w = w24[:, o1:o1 + cap, None]
+        r8 = jnp.cumsum(
+            rank_deltas[:, o8r:o8r + cap * 8].reshape(s, cap, 8), axis=1)
+        # center column: the voxel itself is its dz=0 neighbour; its dz=-1
+        # neighbour, when it exists (the cbits bit), is the immediately
+        # preceding table row (lexicographic keys differ by exactly 1), and
+        # its dz=+1 bit is the NEXT row's dz=-1 bit
+        ncb = ((cap + 7) // 8) * 8
+        e0c = cbit_all[:, oc:oc + ncb][:, :cap]
+        center = jnp.arange(cap, dtype=jnp.int32)[None, :] - e0c
+        ranks = jnp.concatenate(
+            [r8[:, :, :4], center[:, :, None], r8[:, :, 4:]], axis=2)
         ranks = (ranks + soff(cap)).reshape(-1)
+        valid2 = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+                  < nums_b[:, l][:, None])
         # dz-select codes from the three per-column existence bits (matches
         # the e0/e1/e2 -> t formulas of sparse_conv.wide_from_nbr)
-        w = ebits[:, o1:o1 + cap, None]
-        shifts = 3 * jnp.arange(9, dtype=jnp.int32)
-        e0 = ((w >> shifts) & 1) == 1
-        e1 = ((w >> (shifts + 1)) & 1) == 1
-        e2 = ((w >> (shifts + 2)) & 1) == 1
+        shifts = 3 * jnp.arange(8, dtype=jnp.int32)
+        e0n = ((w >> shifts) & 1) == 1
+        e1n = ((w >> (shifts + 1)) & 1) == 1
+        e2n = ((w >> (shifts + 2)) & 1) == 1
+
+        def ins(nc, c):
+            return jnp.concatenate([nc[:, :, :4], c[:, :, None], nc[:, :, 4:]],
+                                   axis=2)
+
+        e0 = ins(e0n, e0c == 1)
+        e1 = ins(e1n, valid2)
+        e2 = ins(e2n, jnp.pad(e0c, ((0, 0), (0, 1)))[:, 1:] == 1)
         t0 = jnp.where(e0, 0, jnp.where(e1, 1, jnp.where(e2, 2, 3)))
         t1 = jnp.where(e0 & e1, 1, jnp.where((e0 | e1) & e2, 2, 3))
         t2 = jnp.where(e0 & e1 & e2, 2, 3)
         sel = (t0 + t1 * 4 + t2 * 16).reshape(-1)
-        valid_l = (jnp.arange(cap, dtype=jnp.int32)[None, :]
-                   < nums_b[:, l][:, None]).reshape(-1)
+        valid_l = valid2.reshape(-1)
         down = f2c = upoff = None
         if l >= 1:
             capf = capacities[l - 1]
@@ -288,8 +320,9 @@ def plan_from_host_arrays(arrs, capacities, num_levels: int,
         levels.append(LevelPlan(nbr=None, valid=valid_l, down_nbr=down,
                                 f2c=f2c, up_off=upoff, dom=dom,
                                 ranks=ranks, sel=sel))
-        o9 += cap * 9
+        o8r += cap * 8
         o1 += cap
+        oc += ncb
     cap0 = capacities[0]
     inv = jnp.asarray(arrs["inverse"]).astype(jnp.int32)
     ioff = (jnp.arange(s, dtype=jnp.int32) * cap0).reshape(s, 1)

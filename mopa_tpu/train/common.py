@@ -100,6 +100,13 @@ def device_batch(batch, strip_ema: bool = False):
             return False
         if strip_ema and (k in EMA_ONLY_KEYS or k.startswith(EMA_ONLY_PREFIX)):
             return False
+        # voxel coords feed only the device-side plan-build fallback; when
+        # the loader shipped host-built plans they are dead weight on the
+        # wire (0.8 MB/sample-set)
+        if k == "coords" and "hp_rankn" in batch:
+            return False
+        if k == "ori_coords" and "hp_ori_rankn" in batch:
+            return False
         return True
 
     return {k: jnp.asarray(v) for k, v in batch.items() if keep(k)}

@@ -140,6 +140,14 @@ def create_train_state(cfg, models: Models, example_batch, seed=None):
             k3d, jnp.asarray(example_batch["feats"]), None, train=False,
             proj_in=jnp.asarray(example_batch["proj_in"]),
             proj_xy=jnp.asarray(example_batch["proj_xy"]))
+    elif "hp_rankn" in example_batch:
+        # loader-shipped host plans (coords may be stripped from the wire)
+        plan = jax.jit(functools.partial(
+            plan_from_host_arrays, capacities=_capacities(cfg, p),
+            num_levels=_num_levels(cfg)))(
+            {k: example_batch["hp_" + k] for k in HOST_PLAN_KEYS})
+        vars_3d = models.model_3d.init(
+            k3d, jnp.asarray(example_batch["feats"]), plan, train=False)
     else:
         plan = jax.jit(functools.partial(
             build_plan_from_batch, cfg,
@@ -289,7 +297,7 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         small logit shifts change labels only near the confidence cutoff."""
         b, p = batch_trg["ori_img_indices"].shape[:2]
         ori_valid = batch_trg["ori_point_valid"]
-        if use_host_plans and "hp_ori_rankd" in batch_trg:
+        if use_host_plans and "hp_ori_rankn" in batch_trg:
             plan = plan_from_host_arrays(
                 {k: batch_trg["hp_ori_" + k] for k in HOST_PLAN_KEYS},
                 _capacities(cfg, p), _num_levels(cfg))
@@ -526,17 +534,12 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
             # per-sample batched plan builds (VMEM-resident sorts), stitched
             # into one fused multi-domain plan
             b, p = batch_src["img_indices"].shape[:2]
-            st_coords = jnp.concatenate(
-                [batch_src["coords"], batch_trg["coords"]]).reshape(
-                2 * b, p, 3)
-            st_valid = jnp.concatenate(
-                [batch_src["point_valid"].reshape(-1),
-                 batch_trg["point_valid"].reshape(-1)]).reshape(2 * b, p)
             st_doms = np.repeat(np.arange(2, dtype=np.int32), b)
-            if use_host_plans and "hp_rankd" in batch_src \
-                    and "hp_rankd" in batch_trg:
+            if use_host_plans and "hp_rankn" in batch_src \
+                    and "hp_rankn" in batch_trg:
                 # plans were built by the native loader on the host,
                 # overlapped with the previous step's device compute
+                # (voxel coords are stripped from the wire in this mode)
                 arrs = {k: jnp.concatenate([batch_src["hp_" + k],
                                             batch_trg["hp_" + k]])
                         for k in HOST_PLAN_KEYS}
@@ -544,6 +547,12 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
                                              _num_levels(cfg),
                                              sample_domains=st_doms)
             else:
+                st_coords = jnp.concatenate(
+                    [batch_src["coords"], batch_trg["coords"]]).reshape(
+                    2 * b, p, 3)
+                st_valid = jnp.concatenate(
+                    [batch_src["point_valid"].reshape(-1),
+                     batch_trg["point_valid"].reshape(-1)]).reshape(2 * b, p)
                 plan = build_unet_plan_batched(st_coords, st_valid,
                                                _num_levels(cfg),
                                                capacities=_capacities(cfg, p),

@@ -212,73 +212,102 @@ void voxelize_level(const int32_t* coords, const uint8_t* valid, int n,
 
 }  // namespace
 
-// Build the full plan, DELTA-COMPRESSED for the wire (format v2).
+// Build the full plan, DELTA-COMPRESSED for the wire (format v3).
 //
 // Per-offset rank/slot sequences are non-decreasing (sorted query keys merged
-// into sorted tables), so they ship as uint8 deltas the device integrates
-// back with one cumsum; misses hold the previous value (the gathered row is
-// dead — the dz-select codes already mask it) so monotonicity never breaks.
-// The rare deltas > 255 (x/y plane transitions; measured ~20 per 16k-point
-// LiDAR sample) go to a fixed-budget fixup list of (flat position, excess)
-// pairs the device scatter-adds before the cumsum. The dz-select codes
-// themselves are pure functions of the three per-column existence bits, so
-// 27 packed bits per voxel replace the 9 int8 sel codes, and the per-level
-// valid mask is just slot < nums[l].
+// into sorted tables), so they ship as 4-BIT deltas (measured: 73% zeros,
+// 99.2% <= 14 on LiDAR-geometry scans) the device integrates back with one
+// cumsum; misses hold the previous value (the gathered row is dead — the
+// dz-select codes already mask it) so monotonicity never breaks. Deltas > 14
+// (x/y plane transitions; measured ~6k per 16k-point sample) saturate to 15
+// and ship the excess in a fixed-budget fixup list of (unpacked position,
+// excess) pairs the device scatter-adds before the cumsum. The CENTER
+// xy-column (dx=dy=0) is not shipped at all: its window start is the voxel's
+// own slot minus the below-z existence bit (rank = i - e0), so only 8 of the
+// 9 columns ride the wire. The dz-select codes are pure functions of the
+// three per-column existence bits (27 packed bits per voxel replace 9 int8
+// sel codes), and the per-level valid mask is just slot < nums[l].
 //
 // Layout of flat output buffers (caller-allocated):
-//   rankd:  sum_l cap_l * 9          uint8 deltas (row-major (cap, 9))
-//   ebits:  sum_l cap_l              uint32, bit 3c+j = neighbour (c, dz=j-1)
-//   downd:  sum_{l>=1} cap_l * 8     uint8 deltas
+//   rankn:  ceil(sum_l cap_l*8 / 2)  uint8 — nibble-packed rank deltas,
+//           row-major (cap, 8) over the 8 NON-CENTER columns; unpacked
+//           index f lives in byte f>>1, low nibble when f is even
+//   ebits:  sum_l cap_l * 3          uint8, bit 3c'+j of the (cap, 3)
+//           row = neighbour (non-center column c', dz=j-1). The center
+//           column ships a single bit elsewhere (cbits): its dz=0
+//           neighbour is the voxel itself (e1 = slot < nums[l]) and its
+//           dz=+1 bit is the NEXT row's dz=-1 bit (consecutive keys)
+//   cbits:  sum_l ceil(cap_l / 8)    uint8, bit i%8 of byte i/8 =
+//           center-column dz=-1 existence for voxel i
+//   downn:  (sum_{l>=1} cap_l*8)/2   uint8 nibble-packed down-map deltas
 //   downe:  sum_{l>=1} cap_l         uint8, bit o = child o exists
 //   f2c:    sum_{l>=1} cap_{l-1}     int16 (-1 invalid; NOT delta-coded:
 //                                    component-wise halving does not preserve
 //                                    lexicographic order, so fine->coarse
 //                                    slots are not monotone)
-//   upoff:  sum_{l>=1} cap_{l-1}     uint8 child octant
-//   fix:    (fix_cap, 2) int32 [pos, excess]; pos indexes the virtual
-//           concatenation [rankd | downd]; unused rows get pos = -1
+//   upoffn: ceil(sum_{l>=1} cap_{l-1} / 2)  uint8 nibble-packed child octants
+//   fix:    (fix_cap,) int32, (pos << 11) | excess with excess <= 2047;
+//           pos indexes the virtual UNPACKED-nibble concatenation
+//           [rankn | downn] (pos < 2^21, i.e. point budgets to ~64k).
+//           Excesses > 2047 split across entries at the SAME pos — the
+//           device scatter-ADD accumulates them. Unused rows are -1
 //   nums:   num_levels int32 (kept voxels per level)
 //   inverse: (n,) int32; counts: (cap_0,) int32
 // Returns 0 on success, -1 on bad arguments, -2 on fixup overflow.
-int mopa_build_plan2(const int32_t* coords, const uint8_t* valid, int n,
+int mopa_build_plan3(const int32_t* coords, const uint8_t* valid, int n,
                      int num_levels, const int32_t* caps, int32_t* inverse,
-                     int32_t* counts, uint8_t* rankd, uint32_t* ebits,
-                     uint8_t* downd, uint8_t* downe, int16_t* f2c,
-                     uint8_t* upoff, int32_t* fix, int fix_cap,
+                     int32_t* counts, uint8_t* rankn, uint8_t* ebits,
+                     uint8_t* cbits, uint8_t* downn, uint8_t* downe,
+                     int16_t* f2c, uint8_t* upoffn, int32_t* fix, int fix_cap,
                      int32_t* nums) {
     if (n <= 0 || num_levels <= 0 || fix_cap <= 0) return -1;
-    size_t sum9 = 0, sum8 = 0;
+    size_t sum8r = 0, sum8d = 0, sumf = 0;
     for (int l = 0; l < num_levels; ++l) {
         if (caps[l] <= 0 || caps[l] > 32767) return -1;  // int16 slot range
-        sum9 += (size_t)caps[l] * 9;
-        if (l >= 1) sum8 += (size_t)caps[l] * 8;
+        sum8r += (size_t)caps[l] * 8;
+        if (l >= 1) {
+            sum8d += (size_t)caps[l] * 8;
+            sumf += (size_t)caps[l - 1];
+        }
     }
+    if (sum8r + sum8d > (size_t)1 << 21) return -1;  // 21-bit fixup pos
+    // unpacked nibble scratch; packed into the output buffers at the end
+    std::vector<uint8_t> rk_nib(sum8r), dn_nib(sum8d), up_nib(sumf);
     int n_fix = 0;
-    for (int i = 0; i < fix_cap; ++i) {
-        fix[i * 2] = -1;
-        fix[i * 2 + 1] = 0;
-    }
-    auto emit = [&](uint8_t* dst, size_t pos_base, size_t i, int32_t cur,
-                    int32_t* prev) -> bool {
+    for (int i = 0; i < fix_cap; ++i) fix[i] = -1;
+    auto emit = [&](std::vector<uint8_t>& dst, size_t pos_base, size_t i,
+                    int32_t cur, int32_t* prev) -> bool {
         const int32_t d = cur - *prev;
         *prev = cur;
-        if (d <= 255) {
+        if (d <= 14) {
             dst[i] = (uint8_t)d;
             return true;
         }
-        dst[i] = 255;
-        if (n_fix >= fix_cap) return false;
-        fix[n_fix * 2] = (int32_t)(pos_base + i);
-        fix[n_fix * 2 + 1] = d - 255;
-        ++n_fix;
+        dst[i] = 15;
+        int32_t excess = d - 15;
+        const int32_t pos = (int32_t)(pos_base + i);
+        while (excess > 0) {
+            if (n_fix >= fix_cap) return false;
+            const int32_t part = excess > 2047 ? 2047 : excess;
+            fix[n_fix++] = (pos << 11) | part;
+            excess -= part;
+        }
         return true;
+    };
+    auto pack = [](const std::vector<uint8_t>& v, uint8_t* dst) {
+        const size_t nb = (v.size() + 1) / 2;
+        for (size_t k = 0; k < nb; ++k) {
+            const uint8_t lo = v[2 * k];
+            const uint8_t hi = (2 * k + 1 < v.size()) ? v[2 * k + 1] : 0;
+            dst[k] = (uint8_t)(lo | (hi << 4));
+        }
     };
 
     Level cur;
     std::vector<int32_t> lvl_inverse((size_t)n);
     voxelize_level(coords, valid, n, caps[0], &cur, inverse, counts);
 
-    size_t off9 = 0, off1 = 0, off8 = 0, offf = 0;
+    size_t off8r = 0, off1 = 0, off8 = 0, offf = 0, offc = 0;
     std::vector<int32_t> nbr;  // (V, 27)
 
     for (int l = 0; l < num_levels; ++l) {
@@ -286,64 +315,87 @@ int mopa_build_plan2(const int32_t* coords, const uint8_t* valid, int n,
         const int v = cur.num;
         nums[l] = v;
 
-        // exact 27-neighbour map via per-offset two-pointer merges: the
+        // exact 27-neighbour map via per-COLUMN two-pointer merges: the
         // query stream key+delta of a sorted table is itself sorted, so each
-        // offset is one linear co-scan (the CPU twin of the device-side
-        // sort-merge; ~6x faster than hash lookups here)
+        // xy-column is one linear co-scan (the CPU twin of the device-side
+        // sort-merge; ~6x faster than hash lookups here). The three dz
+        // offsets of a column have CONSECUTIVE keys, so one scan to the
+        // dz=-1 key resolves all three (consecutive keys sit in consecutive
+        // table rows) — 9 passes instead of 27.
         nbr.assign((size_t)cap * 27, -1);
         {
             int k = 0;
             for (int dx = -1; dx <= 1; ++dx)
-                for (int dy = -1; dy <= 1; ++dy)
-                    for (int dz = -1; dz <= 1; ++dz, ++k) {
-                        const int64_t dkey = ((int64_t)dx << 24) +
-                                             ((int64_t)dy << 12) + (int64_t)dz;
-                        int j = 0;
-                        for (int i = 0; i < v; ++i) {
-                            // SIGNED compare: border queries can go negative
-                            // (an unsigned wrap would strand the co-scan)
-                            const int64_t q = (int64_t)cur.keys[i] + dkey;
-                            while (j < v && (int64_t)cur.keys[j] < q) ++j;
-                            if (j < v && (int64_t)cur.keys[j] == q) {
-                                // key wraps at coordinate borders can false
-                                // match — verify the coordinates
-                                const int32_t qx = cur.coords[i * 3] + dx;
-                                const int32_t qy = cur.coords[i * 3 + 1] + dy;
-                                const int32_t qz = cur.coords[i * 3 + 2] + dz;
-                                if (qx >= 0 && qx < kShift && qy >= 0 &&
-                                    qy < kShift && qz >= 0 && qz < kShift)
-                                    nbr[(size_t)i * 27 + k] = j;
-                            }
+                for (int dy = -1; dy <= 1; ++dy, k += 3) {
+                    const int64_t dkey = ((int64_t)dx << 24) +
+                                         ((int64_t)dy << 12) - 1;  // dz=-1
+                    int j = 0;
+                    for (int i = 0; i < v; ++i) {
+                        // SIGNED compare: border queries can go negative
+                        // (an unsigned wrap would strand the co-scan)
+                        const int64_t q = (int64_t)cur.keys[i] + dkey;
+                        while (j < v && (int64_t)cur.keys[j] < q) ++j;
+                        const int32_t qx = cur.coords[i * 3] + dx;
+                        const int32_t qy = cur.coords[i * 3 + 1] + dy;
+                        if (qx < 0 || qx >= kShift || qy < 0 || qy >= kShift)
+                            continue;
+                        const int32_t z = cur.coords[i * 3 + 2];
+                        int jj = j;
+                        for (int t = 0; t < 3; ++t) {
+                            // key wraps at z borders can false match — gate
+                            // each dz by its coordinate bound
+                            while (jj < v && (int64_t)cur.keys[jj] < q + t)
+                                ++jj;
+                            if (jj < v && (int64_t)cur.keys[jj] == q + t &&
+                                z + t - 1 >= 0 && z + t - 1 < kShift)
+                                nbr[(size_t)i * 27 + k + t] = jj;
                         }
                     }
+                }
         }
 
         // wide-column rank deltas + packed existence bits (decoded sel codes
-        // match sparse_conv.wide_from_nbr exactly)
+        // match sparse_conv.wide_from_nbr exactly). The center column c == 4
+        // is never emitted: its window start is i - e0 (the voxel itself is
+        // always its own dz=0 neighbour, so rank = slot of (x,y,z-1) when it
+        // exists — lexicographically the immediately preceding row — else i).
         {
-            int32_t prev[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+            std::memset(cbits + offc, 0, (size_t)((cap + 7) / 8));
+            int32_t prev[8] = {0, 0, 0, 0, 0, 0, 0, 0};
             for (int i = 0; i < cap; ++i) {
                 uint32_t w = 0;
                 for (int c = 0; c < 9; ++c) {
-                    int32_t r = prev[c];
+                    int32_t s0 = -1, s1 = -1, s2 = -1;
                     if (i < v) {
-                        const int32_t s0 = nbr[(size_t)i * 27 + 3 * c];
-                        const int32_t s1 = nbr[(size_t)i * 27 + 3 * c + 1];
-                        const int32_t s2 = nbr[(size_t)i * 27 + 3 * c + 2];
-                        w |= (uint32_t)(s0 >= 0) << (3 * c);
-                        w |= (uint32_t)(s1 >= 0) << (3 * c + 1);
-                        w |= (uint32_t)(s2 >= 0) << (3 * c + 2);
-                        r = s0 >= 0 ? s0 : (s1 >= 0 ? s1 : (s2 >= 0 ? s2 : r));
+                        s0 = nbr[(size_t)i * 27 + 3 * c];
+                        s1 = nbr[(size_t)i * 27 + 3 * c + 1];
+                        s2 = nbr[(size_t)i * 27 + 3 * c + 2];
                     }
-                    if (!emit(rankd + off9, off9, (size_t)i * 9 + c, r,
-                              &prev[c]))
+                    if (c == 4) {
+                        // center: only the dz=-1 bit rides the wire; dz=0 is
+                        // the voxel itself and dz=+1 is the next row's dz=-1
+                        cbits[offc + i / 8] |= (uint8_t)(s0 >= 0) << (i % 8);
+                        continue;
+                    }
+                    const int cp = c < 4 ? c : c - 1;
+                    w |= (uint32_t)(s0 >= 0) << (3 * cp);
+                    w |= (uint32_t)(s1 >= 0) << (3 * cp + 1);
+                    w |= (uint32_t)(s2 >= 0) << (3 * cp + 2);
+                    int32_t r = prev[cp];
+                    if (i < v)
+                        r = s0 >= 0 ? s0 : (s1 >= 0 ? s1 : (s2 >= 0 ? s2 : r));
+                    if (!emit(rk_nib, 0, off8r + (size_t)i * 8 + cp, r,
+                              &prev[cp]))
                         return -2;
                 }
-                ebits[off1 + i] = w;
+                ebits[(off1 + i) * 3 + 0] = (uint8_t)(w & 0xFF);
+                ebits[(off1 + i) * 3 + 1] = (uint8_t)((w >> 8) & 0xFF);
+                ebits[(off1 + i) * 3 + 2] = (uint8_t)((w >> 16) & 0xFF);
             }
         }
-        off9 += (size_t)cap * 9;
+        off8r += (size_t)cap * 8;
         off1 += (size_t)cap;
+        offc += (size_t)((cap + 7) / 8);
 
         if (l + 1 < num_levels) {
             // downsample: halve kept coords, sorted-unique dedup
@@ -372,7 +424,7 @@ int mopa_build_plan2(const int32_t* coords, const uint8_t* valid, int n,
                     o = ((cur.coords[i * 3] & 1) << 2) |
                         ((cur.coords[i * 3 + 1] & 1) << 1) |
                         (cur.coords[i * 3 + 2] & 1);
-                upoff[offf + i] = (uint8_t)o;
+                up_nib[offf + i] = (uint8_t)o;
                 f2c[offf + i] = (int16_t)c;
                 if (c >= 0) dn[(size_t)c * 8 + o] = i;
             }
@@ -384,7 +436,7 @@ int mopa_build_plan2(const int32_t* coords, const uint8_t* valid, int n,
                         const int32_t d =
                             i < cv ? dn[(size_t)i * 8 + o] : -1;
                         e |= (uint8_t)(d >= 0) << o;
-                        if (!emit(downd + off8, sum9 + off8, (size_t)i * 8 + o,
+                        if (!emit(dn_nib, sum8r, off8 + (size_t)i * 8 + o,
                                   d >= 0 ? d : prevd[o], &prevd[o]))
                             return -2;
                     }
@@ -396,6 +448,9 @@ int mopa_build_plan2(const int32_t* coords, const uint8_t* valid, int n,
             cur = std::move(coarse);
         }
     }
+    pack(rk_nib, rankn);
+    pack(dn_nib, downn);
+    pack(up_nib, upoffn);
     return 0;
 }
 

@@ -208,7 +208,7 @@ def test_host_plans_match_device_plans():
     src_it, trg_it = _loaders(c)
     bs = _device_batch(next(src_it))
     bt = _device_batch(next(trg_it))
-    assert "hp_rankd" in bs, "host plans missing from the train batch"
+    assert "hp_rankn" in bs, "host plans missing from the train batch"
     state = trainer.make_train_step  # noqa: avoid unused warnings
     st0 = trainer.create_train_state(c, models, bs)
 
