@@ -78,6 +78,11 @@ def main():
     # enough sampler iterations for the e2e streaming measurement
     c.SCHEDULER.MAX_ITERATION = 100000
 
+    # A/B lever: host-built voxel plans (smaller device step, bigger wire)
+    # vs device-built plans (coords-only wire, ~75 ms/plan-set device cost)
+    if "BENCH_HOST_PLANS" in os.environ:
+        c.TPU.HOST_PLANS = bool(int(os.environ["BENCH_HOST_PLANS"]))
+
     models, _ = trainer_mod.build_models(c, output_all=True)
     src_loader = build_dataloader(c, "train", "source")
     trg_loader = build_dataloader(c, "train", "target")
@@ -163,6 +168,16 @@ def main():
         result["flops_per_scan"] = round(flops_per_scan, 1)
         result["mfu"] = round(scans_per_sec * flops_per_scan / PEAK_FLOPS, 5)
         result["mfu_peak_flops_assumed"] = PEAK_FLOPS
+    # host->device bytes per step (the e2e limiter on the tunneled test
+    # harness, which moves ~80 MB/s; production TPU hosts move GB/s over
+    # PCIe, so value_e2e here is a LOWER bound for real deployments)
+    wire_pre = sum(v.nbytes for v in src.values()) + \
+        sum(v.nbytes for v in trg.values())
+    wire_ema = sum(v.nbytes for v in src_full.values()) + \
+        sum(v.nbytes for v in trg_full.values())
+    result["wire_mb_per_step_pre_ema"] = round(wire_pre / 1e6, 1)
+    result["wire_mb_per_step_ema_phase"] = round(wire_ema / 1e6, 1)
+    result["host_plans"] = bool(c.TPU.get("HOST_PLANS", True))
     print(json.dumps(result))
 
 

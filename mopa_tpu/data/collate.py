@@ -86,6 +86,62 @@ _POINT_KEYS = ("coords", "feats", "seg_label", "img_indices",
                "pseudo_label_2d", "pseudo_label_3d", "proj_xy", "points_xyz",
                "ema_map")
 _ORI_KEYS = ("ori_coords", "ori_feats", "ori_img_indices")
+_RAW_KEYS = ("ori_points", "ori_pseudo_label_3d", "g_indices")
+
+
+def _strided_pick(n: int, budget: int) -> np.ndarray:
+    """Evenly-spaced increasing indices (distinct since n > budget)."""
+    return np.linspace(0, n - 1, budget).round().astype(np.int64)
+
+
+def _fair_subsample(s: Dict, budget: int) -> Dict:
+    """Downsample a sample's per-point groups to the static budget with an
+    evenly-strided pick instead of take-first truncation.
+
+    Take-first is SPATIALLY BIASED: train points arrive voxel-key-sorted
+    (one lexicographic chunk of the scan) and eval points arrive in dataset
+    order (synthetic/KITTI scans put ground first), so overflow used to drop
+    whole regions or whole classes. A strided pick over either ordering is
+    (near-)uniform over the scan. The three independent per-point groups —
+    augmented set, EMA original voxel set (``ema_map`` values are remapped),
+    raw original scan (VGI inputs) — each get their own pick; the eval
+    restoration mask ``orig_points_idx`` is rebuilt to keep batch-row ->
+    original-point order intact."""
+    n = np.asarray(s["coords"]).shape[0] if "coords" in s else 0
+    n_ori = np.asarray(s["ori_coords"]).shape[0] if "ori_coords" in s else 0
+    n_raw = np.asarray(s["ori_points"]).shape[0] if "ori_points" in s else 0
+    if n <= budget and n_ori <= budget and n_raw <= budget:
+        return s
+    s = dict(s)
+    if n > budget:
+        pick = _strided_pick(n, budget)
+        for k in _POINT_KEYS:
+            if k in s:
+                s[k] = np.asarray(s[k])[pick]
+        if "orig_points_idx" in s:
+            mask = np.asarray(s["orig_points_idx"])
+            kept = np.where(mask)[0][pick]
+            new_mask = np.zeros_like(mask)
+            new_mask[kept] = True
+            s["orig_points_idx"] = new_mask
+    if n_ori > budget:
+        pick_o = _strided_pick(n_ori, budget)
+        for k in _ORI_KEYS:
+            if k in s:
+                s[k] = np.asarray(s[k])[pick_o]
+        if "ema_map" in s:
+            inv = np.full(n_ori, -1, np.int64)
+            inv[pick_o] = np.arange(budget)
+            em = np.asarray(s["ema_map"])
+            safe = np.clip(em, 0, n_ori - 1)
+            s["ema_map"] = np.where((em >= 0) & (em < n_ori), inv[safe],
+                                    -1).astype(em.dtype)
+    if n_raw > budget:
+        pick_r = _strided_pick(n_raw, budget)
+        for k in _RAW_KEYS:
+            if k in s:
+                s[k] = np.asarray(s[k])[pick_r]
+    return s
 
 
 def _lexkey(coords):
@@ -157,6 +213,7 @@ def collate_padded(samples: List[Dict], point_budget: int,
     ``host_plan_capacities`` additionally builds the full per-sample UNet
     voxel plans on the host (native C++, overlapped with device compute)
     and ships them with the batch (``hp_*`` / ``hp_ori_*`` keys)."""
+    samples = [_fair_subsample(s, point_budget) for s in samples]
     if sort_points:
         samples = [_sort_sample_points(s) for s in samples]
     b = len(samples)

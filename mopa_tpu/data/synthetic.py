@@ -88,24 +88,48 @@ class SyntheticSCN:
             cx = rng.uniform(4, 45)
             cy = cx * rng.uniform(-0.4, 0.4)
             if self.learnable:
+                # TOP-FACE shell at a class-specific height above ground:
+                # every point of class c sits at 0.6*(c+1) m over the -1.7 m
+                # ground, so point-wise class is unambiguous given local
+                # vertical context (a full box would leave its lower points
+                # indistinguishable across classes). A road "shadow" disk
+                # under the footprint anchors the reference height locally —
+                # at far range the ground rings are metres apart and the
+                # net's receptive field would otherwise have no ground in it
                 c = int(rng.choice(box_classes))
                 sx, sy = rng.uniform(0.4, 1.5, 2)
-                sz = 0.3 + 0.3 * c  # height encodes the class
+                sz = 0.3 + 0.3 * c
+                ms = max(m // 4, 16)
+                shadow = np.stack([
+                    cx + rng.uniform(-sx, sx, ms),
+                    cy + rng.uniform(-sy, sy, ms),
+                    rng.normal(-1.7, 0.01, ms),
+                ], 1)
+                pts.append(shadow)
+                labs.append(np.full(ms, 4))  # road
+                remaining -= ms
+                m = max(min(m, remaining), 16)
+                p = np.stack([
+                    cx + rng.uniform(-sx, sx, m),
+                    cy + rng.uniform(-sy, sy, m),
+                    -1.7 + 2 * sz + rng.normal(0.0, 0.02, m),
+                ], 1)
             else:
                 c = int(rng.integers(0, self.num_classes))
                 sx, sy = rng.uniform(0.4, 1.5, 2)
                 sz = rng.uniform(0.5, 2.5)
-            p = np.stack([
-                cx + rng.uniform(-sx, sx, m),
-                cy + rng.uniform(-sy, sy, m),
-                rng.uniform(-1.7, -1.7 + 2 * sz, m),
-            ], 1)
+                p = np.stack([
+                    cx + rng.uniform(-sx, sx, m),
+                    cy + rng.uniform(-sy, sy, m),
+                    rng.uniform(-1.7, -1.7 + 2 * sz, m),
+                ], 1)
             pts.append(p)
             labs.append(np.full(m, c))
             remaining -= m
         points = np.concatenate(pts).astype(np.float32)
         labels = np.concatenate(labs).astype(np.int64)
-        g_mask = np.zeros(n, bool)
+        # learnable-mode shadow disks can overshoot n by a few points
+        g_mask = np.zeros(points.shape[0], bool)
         g_mask[:n_ground] = True
         return points, labels, g_mask
 
@@ -162,15 +186,19 @@ class SyntheticSCN:
         img_indices[:, 1] = np.clip(img_indices[:, 1], 0, w - 1)
 
         if self.learnable:
-            # paint class colours at point pixels (before the fliplr below,
-            # which transforms image and indices consistently; the EMA
-            # ori_img copy then inherits the paint at its unflipped indices)
+            # paint class colours in 3x3 patches at point pixels (before the
+            # fliplr below, which transforms image and indices consistently;
+            # the EMA ori_img copy then inherits the paint at its unflipped
+            # indices). Patches, not single pixels: the /16-downsampling 2D
+            # encoder needs more than an isolated pixel of gradient signal
             palette = (np.arange(1, self.num_classes + 1)[:, None]
                        * np.asarray([[0.09, 0.17, 0.05]])) % 1.0
-            image[img_indices[:, 0], img_indices[:, 1]] = (
-                0.8 * palette[labels] + 0.2
-                * image[img_indices[:, 0], img_indices[:, 1]]).astype(
-                np.float32)
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    rr = np.clip(img_indices[:, 0] + dr, 0, h - 1)
+                    cc = np.clip(img_indices[:, 1] + dc, 0, w - 1)
+                    image[rr, cc] = (0.8 * palette[labels]
+                                     + 0.2 * image[rr, cc]).astype(np.float32)
 
         if self.with_ema:
             out["ori_img"] = image.copy()
@@ -251,13 +279,21 @@ class SyntheticSCN:
             obj_ls, lab_ls = [], []
             for k in range(n_objs):
                 m = int(rng.integers(96, 256))
+                lab = 3 - k % 3
                 c = np.array([rng.uniform(5, 12), rng.uniform(-2, 2),
                               rng.uniform(-1.6, -1.0)])
                 obj = (c + rng.uniform(-0.4, 0.4, (m, 3))).astype(np.float32)
+                if self.learnable:
+                    # objects obey the class-height rule too — the pc_mm
+                    # loss must not teach a contradictory geometry->class map
+                    # (VGI re-grounds objects to the insertion road height,
+                    # so keep the shell at class height over the object MIN)
+                    obj[:, 2] = (obj[:, 2].min() + 0.6 * (lab + 1)
+                                 + rng.normal(0.0, 0.02, m)).astype(np.float32)
                 obj = np.concatenate(
                     [obj, rng.uniform(0, 1, (m, 1)).astype(np.float32)], 1)
                 obj_ls.append(obj)
-                lab_ls.append(np.full(m, 3 - k % 3))
+                lab_ls.append(np.full(m, lab))
             out["ori_obj_pc"] = obj_ls
             out["ori_obj_label"] = lab_ls
             out["ori_points"] = np.concatenate(

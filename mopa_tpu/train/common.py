@@ -167,8 +167,9 @@ def device_prefetch(iterator, depth: int = 1, strip_ema: bool = False):
                 if stop.is_set():
                     return
                 q.put(device_batch(b, strip_ema=strip_ema))
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # propagate, don't masquerade as end-of-data
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -177,6 +178,8 @@ def device_prefetch(iterator, depth: int = 1, strip_ema: bool = False):
             b = q.get()
             if b is sentinel:
                 return
+            if isinstance(b, BaseException):
+                raise b
             yield b
     finally:
         stop.set()

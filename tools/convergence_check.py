@@ -64,8 +64,9 @@ def main():
     ious = {name: float(ev.overall_iou)
             for name, ev in eval_dict.items()} if eval_dict else {}
     result = {"iters": n_iter, "miou": ious,
-              "gate": {"2d": GATE_2D, "xM": GATE_XM}}
-    ok = ious.get("2d", 0.0) >= GATE_2D and ious.get("xM", 0.0) >= GATE_XM
+              "gate": {"2D": GATE_2D, "2D+3D": GATE_XM}}
+    ok = (ious.get("2D", 0.0) >= GATE_2D
+          and ious.get("2D+3D", 0.0) >= GATE_XM)
     result["pass"] = bool(ok)
     print(json.dumps(result))
     sys.exit(0 if ok else 1)

@@ -75,6 +75,12 @@ def main():
         bump = (plan.num_voxels[0] * 0).astype(jnp.int32)
         return (coords + bump, bidx, v)
 
+    # coords may be stripped from the wire when host plans ship; rebuild a
+    # device copy for the plan-build probe
+    if "coords" not in src:
+        src_raw = next(iter(build_dataloader(c, "train", "source")))
+        src = dict(src, coords=jnp.asarray(src_raw["coords"]).astype(jnp.int32))
+
     chained(plan_fn, plan_feedback,
             (src["coords"], src["batch_idx"], src["point_valid"].reshape(-1)),
             name="plan build (7 levels)")
@@ -82,12 +88,46 @@ def main():
     plan = plan_fn(src["coords"], src["batch_idx"],
                    src["point_valid"].reshape(-1))
 
+    # 1b. host-plan wire decode (nibble unpack + fixup scatter + cumsums)
+    if "hp_rankn" in src_wire:
+        from mopa_tpu.models.scn_unet import HOST_PLAN_KEYS, plan_from_host_arrays
+        from mopa_tpu.train.trainer import _capacities, _num_levels
+
+        hp_arrs = {k: src_wire["hp_" + k] for k in HOST_PLAN_KEYS}
+        dec_fn = jax.jit(lambda arrs: plan_from_host_arrays(
+            arrs, _capacities(c, c.TPU.POINT_BUDGET), _num_levels(c)))
+
+        def dec_feedback(plan, args):
+            bump = (plan.num_voxels[0] * 0).astype(jnp.int32)
+            (arrs,) = args
+            return (dict(arrs, nums=arrs["nums"] + bump.astype(arrs["nums"].dtype)),)
+
+        chained(dec_fn, dec_feedback, (hp_arrs,), name="host-plan wire decode")
+
     # 2. 3D forward, chained through feats
     fwd3d = jax.jit(lambda feats: models.model_3d.apply(
         {"params": state.params_3d, "batch_stats": state.batch_stats_3d},
         feats, plan, train=False)["seg_logit"])
     chained(fwd3d, lambda out, args: (args[0] + 0 * out[:1, :1].sum(),),
             (src["feats"],), name="3D forward")
+
+    # 3b. 3D fwd+bwd wrt the 3D parameters (the training-path cost)
+    def loss3d(params):
+        out = models.model_3d.apply(
+            {"params": params, "batch_stats": state.batch_stats_3d},
+            src["feats"], plan, train=False)
+        return jnp.sum(out["seg_logit"].astype(jnp.float32) ** 2)
+
+    def g3d_feedback(out, args):
+        (params,) = args
+        bump = jax.tree_util.tree_leaves(out)[0].ravel()[0] * 0
+        flat, treedef = jax.tree_util.tree_flatten(params)
+        flat = [flat[0] + bump.astype(flat[0].dtype)] + flat[1:]
+        return (jax.tree_util.tree_unflatten(treedef, flat),)
+
+    g3d = jax.jit(jax.grad(loss3d))
+    chained(g3d, g3d_feedback, (state.params_3d,),
+            name="3D fwd+bwd (wrt params)")
 
     # 3. 2D forward, chained through img
     fwd2d = jax.jit(lambda img: models.model_2d.apply(
@@ -141,6 +181,24 @@ def main():
 
     step = trainer_mod.make_train_step(c, models, with_pl=True, with_ema=False)
     run_step(step, state, name="step: full MoPA")
+
+    # 7. EMA-phase step on full batches (teacher refresh + ori plan decode)
+    src_full = device_batch(next(iter(build_dataloader(c, "train", "source"))))
+    trg_full = device_batch(next(iter(build_dataloader(c, "train", "target"))))
+
+    def run_step_full(step_fn, st, n=10, name=""):
+        st, m = step_fn(st, src_full, trg_full)
+        _ = float(np.asarray(m["total_loss"]))
+        t0 = time.time()
+        for _ in range(n):
+            st, m = step_fn(st, src_full, trg_full)
+        _ = float(np.asarray(m["total_loss"]))
+        print("{:35s} {:8.1f} ms".format(name, (time.time() - t0) / n * 1000),
+              flush=True)
+
+    step_ema = trainer_mod.make_train_step(c, models, with_pl=True,
+                                           with_ema=True)
+    run_step_full(step_ema, state, name="step: full MoPA + EMA")
 
 
 if __name__ == "__main__":
