@@ -330,11 +330,19 @@ def submanifold_conv_zdense(feats: jax.Array, plan: ZPlan,
 
 
 def _wide_gather_align(feats: jax.Array, plan: WidePlan) -> jax.Array:
-    """9 triple-width row gathers + dz realignment -> (V, 27*Cin) in the
+    """8 triple-width row gathers + dz realignment -> (V, 27*Cin) in the
     kernel_offsets layout (dx slowest, dz fastest). 2-D shapes throughout —
-    (V, 9, 3, C) temps would be tile-padded ~14x on TPU."""
+    (V, 9, 3, C) temps would be tile-padded ~14x on TPU.
+
+    The CENTRE column (dx=dy=0) never gathers: its window rows are always
+    ``v-1, v, v+1`` in the active table (a voxel is its own dz=0 neighbour,
+    and z-adjacent keys are consecutive table rows), so its 3C block is
+    three C-wide masked SHIFTS of the feature array — gathers are per-ROW
+    rate-bound on TPU, so dropping 1 of 9 columns cuts conv gather rows by
+    11% in both the forward and the cotangent backward."""
     v = plan.ranks.shape[0] // 9
     cin = feats.shape[1]
+    ranks8, sel8, sel_c = _drop_centre_col(plan, v)
     # NOTE: a flat-operand overlapping slice gather (slice_sizes=(3C,) at
     # starts ranks*C, eliminating this windowed-concat materialisation)
     # reproducibly CRASHED the v5e TPU worker at production shapes — keep
@@ -342,11 +350,11 @@ def _wide_gather_align(feats: jax.Array, plan: WidePlan) -> jax.Array:
     zero = jnp.zeros((2, cin), feats.dtype)
     fp = jnp.concatenate([feats, zero])
     feats_w = jnp.concatenate([fp[:v], fp[1:v + 1], fp[2:v + 2]], axis=1)
-    g = feats_w[jnp.clip(plan.ranks, 0, v - 1)]      # (V*9, 3C)
+    g = feats_w[jnp.clip(ranks8, 0, v - 1)]          # (V*8, 3C)
     # per-row dz slots of the three gathered rows
-    t0 = plan.sel & 3
-    t1 = (plan.sel >> 2) & 3
-    t2 = (plan.sel >> 4) & 3
+    t0 = sel8 & 3
+    t1 = (sel8 >> 2) & 3
+    t2 = (sel8 >> 4) & 3
     # dz slot t can only be fed by gathered subrow j <= t (window codes are
     # strictly increasing: t_j >= j). Group the 6 (t, j) pairs by the lane
     # shift s = t - j: aligned = m0*g + m1*(g >> C lanes) + m2*(g >> 2C) —
@@ -354,7 +362,7 @@ def _wide_gather_align(feats: jax.Array, plan: WidePlan) -> jax.Array:
     # C-wide ops on lane-padded narrow slices (measured ~108 ms/step).
     sh1 = jnp.pad(g[:, :2 * cin], ((0, 0), (cin, 0)))        # subrow j -> j+1
     sh2 = jnp.pad(g[:, :cin], ((0, 0), (2 * cin, 0)))        # subrow j -> j+2
-    # masks as pure rank-2 broadcasts ((V9, 1) codes x (1, 3C) lane slots) so
+    # masks as pure rank-2 broadcasts ((V8, 1) codes x (1, 3C) lane slots) so
     # XLA keeps them virtual inside the fusion — stacked/repeated mask arrays
     # materialised (V9, 3, C) temps and OOM'd at batch 8
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * cin), 1) // cin
@@ -365,8 +373,30 @@ def _wide_gather_align(feats: jax.Array, plan: WidePlan) -> jax.Array:
                    jnp.where(lane == 2, t1c == 2, False))
     m2 = (lane == 2) & (t0c == 2)
     dt = feats.dtype
-    aligned = (m0.astype(dt) * g + m1.astype(dt) * sh1 + m2.astype(dt) * sh2)
-    return aligned.reshape(v, 27 * cin)
+    aligned8 = (m0.astype(dt) * g + m1.astype(dt) * sh1
+                + m2.astype(dt) * sh2).reshape(v, 24 * cin)
+    # centre 3C block from shifts: [e_prev*f[v-1], e_mid*f[v], e_next*f[v+1]]
+    tc0 = sel_c & 3
+    e_prev = (tc0 == 0)[:, None].astype(dt)
+    e_mid = (tc0 < 2)[:, None].astype(dt)          # dz=0 present iff v valid
+    e_next = ((((sel_c >> 2) & 3) == 2)
+              | (((sel_c >> 4) & 3) == 2))[:, None].astype(dt)
+    prev = jnp.concatenate([zero[:1], feats[:v - 1]])
+    nxt = fp[1:v + 1]
+    centre = jnp.concatenate([e_prev * prev, e_mid * feats[:v],
+                              e_next * nxt], axis=1)
+    return jnp.concatenate([aligned8[:, :12 * cin], centre,
+                            aligned8[:, 12 * cin:]], axis=1)
+
+
+def _drop_centre_col(plan: WidePlan, v: int):
+    """Split the flat v-major (V*9,) plan arrays into the 8 gathered columns
+    and the centre column's sel codes."""
+    r = plan.ranks.reshape(v, 9)
+    s = plan.sel.reshape(v, 9)
+    ranks8 = jnp.concatenate([r[:, :4], r[:, 5:]], axis=1).reshape(v * 8)
+    sel8 = jnp.concatenate([s[:, :4], s[:, 5:]], axis=1).reshape(v * 8)
+    return ranks8, sel8, s[:, 4]
 
 
 def _wide_fwd_impl(feats, weight, plan):
