@@ -293,6 +293,7 @@ def collate_padded(samples: List[Dict], point_budget: int,
         out["ori_coords"] = ocoords.reshape(b * p, 3)
         out["ori_batch_idx"] = out["batch_idx"]
         out["ori_point_valid"] = np.arange(p)[None, :] < onum[:, None]
+        out["ori_num_points"] = onum
         ofeats, _ = stack_points("ori_feats", 0, np.float16)
         out["ori_feats"] = ofeats.reshape(b * p, -1)
         emap, _ = stack_points("ema_map", -1, idx_t)
@@ -313,6 +314,7 @@ def collate_padded(samples: List[Dict], point_budget: int,
         else:
             out["ori_points"] = pts
         out["ori_points_valid"] = np.arange(p)[None, :] < vnum[:, None]
+        out["vgi_num_points"] = vnum
         if "g_indices" in samples[0]:
             g, _ = stack_points("g_indices", 0, bool)
             out["g_mask"] = g

@@ -593,6 +593,24 @@ def _strided_fwd(fine_feats, weight, down_nbr, f2c, up_off, fine_valid):
     return out, (fine_feats, weight, down_nbr, f2c, up_off, fine_valid)
 
 
+def _offset_tiled(x: jax.Array, up_off: jax.Array, k: int,
+                  valid: jax.Array | None = None) -> jax.Array:
+    """(V, C) -> (V, K*C) with row v's block ``up_off[v]`` holding x[v] and
+    the other blocks zero. Turns the per-row kernel-offset weight select of
+    deconv / strided-conv-backward into ONE MXU GEMM against the stacked
+    (K*C, D) weights: out[v] = sum_o 1[up_off[v]==o] * x[v] @ W[o]. K-times
+    the minimal FLOPs, but these GEMMs are tiny and the alternative —
+    gathering per-row (C, D) weight slabs and a batched matvec einsum —
+    materialises a (V, C, D) temp off the MXU (measured: the einsum path
+    dominated deconv time)."""
+    c = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k * c), 1) // c
+    m = (lane == up_off[:, None]).astype(x.dtype)
+    if valid is not None:
+        m = m * valid[:, None].astype(x.dtype)
+    return m * jnp.tile(x, (1, k))
+
+
 def _strided_bwd(res, g):
     """d_fine[f] = g[f2c[f]] @ W[up_off[f]]^T — the deconv access pattern,
     again no scatters."""
@@ -603,10 +621,9 @@ def _strided_bwd(res, g):
     d_w = jnp.dot(gathered.T, g, preferred_element_type=jnp.float32)
     d_w = d_w.reshape(k, cin, cout).astype(weight.dtype)
     g_f = _masked_take(g, f2c)  # (Vf, Cout)
-    w_t = jnp.transpose(weight, (0, 2, 1))  # (8, Cout, Cin)
-    w_sel = w_t[jnp.clip(up_off, 0, k - 1)].astype(g.dtype)  # (Vf, Cout, Cin)
-    d_fine = jnp.einsum("vc,vcd->vd", g_f, w_sel)
-    d_fine = jnp.where(fine_valid[:, None], d_fine, 0.0)
+    g_t = _offset_tiled(g_f, up_off, k, fine_valid)  # (Vf, K*Cout)
+    w_t = jnp.transpose(weight, (0, 2, 1)).reshape(k * cout, cin)
+    d_fine = jnp.dot(g_t, w_t.astype(g.dtype), preferred_element_type=g.dtype)
     return d_fine.astype(fine_feats.dtype), d_w, None, None, None, None
 
 
@@ -630,9 +647,9 @@ def strided_conv(fine_feats: jax.Array, down_nbr: jax.Array, weight: jax.Array,
 def _deconv(coarse_feats, weight, f2c, up_off, fine_valid, down_nbr):
     k, cin, cout = weight.shape
     gathered = _masked_take(coarse_feats, f2c)  # (Vf, Cin)
-    w_sel = weight[jnp.clip(up_off, 0, k - 1)].astype(gathered.dtype)
-    out = jnp.einsum("vc,vcd->vd", gathered, w_sel)
-    return jnp.where(fine_valid[:, None], out, 0.0)
+    tiled = _offset_tiled(gathered, up_off, k, fine_valid)  # (Vf, K*Cin)
+    w2d = weight.reshape(k * cin, cout).astype(gathered.dtype)
+    return jnp.dot(tiled, w2d, preferred_element_type=gathered.dtype)
 
 
 def _deconv_fwd(coarse_feats, weight, f2c, up_off, fine_valid, down_nbr):
@@ -650,13 +667,12 @@ def _deconv_bwd(res, g):
     w_t = jnp.transpose(weight, (0, 2, 1)).reshape(k * cout, cin)
     d_coarse = jnp.dot(g_gathered, w_t.astype(g.dtype),
                        preferred_element_type=coarse_feats.dtype)
-    # d_W: per-offset masked outer products, one GEMM via one-hot expansion
+    # d_W[o] = (masked coarse[f2c] at offset o)^T @ g — one GEMM over the
+    # offset-tiled array instead of a (V, K, Cin, Cout) one-hot einsum
     gathered = _masked_take(coarse_feats, f2c)  # (Vf, Cin)
-    onehot = jax.nn.one_hot(up_off, k, dtype=g.dtype) \
-        * fine_valid[:, None].astype(g.dtype)  # (Vf, K)
-    # (K, Cin, Cout) = einsum over fine sites
-    d_w = jnp.einsum("vk,vc,vd->kcd", onehot, gathered, g,
-                     preferred_element_type=jnp.float32)
+    tiled = _offset_tiled(gathered, up_off, k, fine_valid)  # (Vf, K*Cin)
+    d_w = jnp.dot(tiled.T, g, preferred_element_type=jnp.float32)
+    d_w = d_w.reshape(k, cin, cout)
     return (d_coarse.astype(coarse_feats.dtype), d_w.astype(weight.dtype),
             None, None, None, None)
 
@@ -673,11 +689,11 @@ def deconv(coarse_feats: jax.Array, fine_to_coarse: jax.Array,
     coarse_feats: (Vc, Cin); weight: (8, Cin, Cout). Passing ``down_nbr``
     enables the scatter-free custom backward."""
     if down_nbr is None:
-        k = weight.shape[0]
+        k, cin, cout = weight.shape
         gathered = _masked_take(coarse_feats, fine_to_coarse)
-        w_sel = weight[jnp.clip(up_off_idx, 0, k - 1)].astype(gathered.dtype)
-        out = jnp.einsum("vc,vcd->vd", gathered, w_sel)
-        return jnp.where(fine_valid[:, None], out, 0.0)
+        tiled = _offset_tiled(gathered, up_off_idx, k, fine_valid)
+        return jnp.dot(tiled, weight.reshape(k * cin, cout).astype(
+            gathered.dtype), preferred_element_type=gathered.dtype)
     return _deconv(coarse_feats, weight, fine_to_coarse, up_off_idx,
                    fine_valid, down_nbr)
 

@@ -84,7 +84,8 @@ def prepare_output_dir(cfg, args):
 # ema_start_iter. ``ori_points`` / ``ori_pseudo_label_3d`` stay: VGI uses
 # them in every MoPA phase (ops/mixmatch.py::vgi_insert_batch).
 EMA_ONLY_KEYS = ("ori_img", "ori_img_indices", "ori_coords", "ori_batch_idx",
-                 "ori_point_valid", "ori_feats", "ema_map")
+                 "ori_point_valid", "ori_feats", "ema_map", "ori_num_points",
+                 "ori_feats_ones")
 EMA_ONLY_PREFIX = "hp_ori_"
 
 # derivable on device from (B, P) — never worth shipping
@@ -94,7 +95,10 @@ _DERIVED_KEYS = ("batch_idx", "ori_batch_idx")
 def device_batch(batch, strip_ema: bool = False):
     """Ship a collated numpy batch to device in its compact wire dtypes.
     ``strip_ema`` drops the EMA-teacher-only keys (pre-``ema_start_iter``
-    phases never read them — ~45% of target-batch bytes)."""
+    phases never read them — ~45% of target-batch bytes). Derivable arrays
+    stay off the wire: validity masks rebuild from their per-sample counts,
+    and all-ones SCN feature columns collapse to a (B, C) ones marker —
+    ``decode_batch`` reconstructs everything in-graph."""
     def keep(k):
         if k == "_meta" or k in _DERIVED_KEYS:
             return False
@@ -107,9 +111,29 @@ def device_batch(batch, strip_ema: bool = False):
             return False
         if k == "ori_coords" and "hp_ori_rankn" in batch:
             return False
+        # masks derivable from counts (decode_batch rebuilds)
+        if k == "point_valid" and "num_points" in batch \
+                and "img_indices" in batch:
+            return False
+        if k == "ori_point_valid" and "ori_num_points" in batch \
+                and "ori_img_indices" in batch:
+            return False
+        if k == "ori_points_valid" and "vgi_num_points" in batch \
+                and "ori_points" in batch:
+            return False
         return True
 
-    return {k: jnp.asarray(v) for k, v in batch.items() if keep(k)}
+    out = {k: v for k, v in batch.items() if keep(k)}
+    if "num_points" in out:
+        b = np.asarray(out["num_points"]).shape[0]
+        for fk, mk in (("feats", "feats_ones"), ("ori_feats",
+                                                 "ori_feats_ones")):
+            f = out.get(fk)
+            if f is not None and getattr(f, "ndim", 0) == 2 \
+                    and f.shape[1] <= 8 and np.all(np.asarray(f) == 1):
+                del out[fk]
+                out[mk] = np.ones((b, f.shape[1]), np.float16)
+    return {k: jnp.asarray(v) for k, v in out.items()}
 
 
 _WIRE_INT_KEYS = ("coords", "img_indices", "seg_label", "pseudo_label_2d",
@@ -138,6 +162,31 @@ def decode_batch(batch):
         q = out["ori_points"].astype(jnp.float32)
         out["ori_points"] = jnp.concatenate(
             [q[..., :3] * 0.005, q[..., 3:] * (1.0 / 32000.0)], axis=-1)
+    # rebuild count-derived masks and all-ones feature columns
+    if "point_valid" not in out and "num_points" in out \
+            and "img_indices" in out:
+        p = out["img_indices"].shape[1]
+        out["point_valid"] = (jnp.arange(p, dtype=jnp.int32)[None, :]
+                              < out["num_points"][:, None])
+    if "ori_point_valid" not in out and "ori_num_points" in out \
+            and "ori_img_indices" in out:
+        p = out["ori_img_indices"].shape[1]
+        out["ori_point_valid"] = (jnp.arange(p, dtype=jnp.int32)[None, :]
+                                  < out["ori_num_points"][:, None])
+    if "ori_points_valid" not in out and "vgi_num_points" in out \
+            and "ori_points" in out:
+        p = out["ori_points"].shape[1]
+        out["ori_points_valid"] = (jnp.arange(p, dtype=jnp.int32)[None, :]
+                                   < out["vgi_num_points"][:, None])
+    if "feats" not in out and "feats_ones" in out and "point_valid" in out:
+        b, c = out["feats_ones"].shape
+        p = out["point_valid"].shape[1]
+        out["feats"] = jnp.ones((b * p, c), jnp.float32)
+    if "ori_feats" not in out and "ori_feats_ones" in out \
+            and "ori_point_valid" in out:
+        b, c = out["ori_feats_ones"].shape
+        p = out["ori_point_valid"].shape[1]
+        out["ori_feats"] = jnp.ones((b * p, c), jnp.float32)
     if "point_valid" in out:
         b, p = out["point_valid"].shape
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)

@@ -171,13 +171,21 @@ def main():
         print("{:35s} {:8.1f} ms".format(name, (time.time() - t0) / n * 1000),
               flush=True)
 
-    c2 = c.clone()
-    c2.TRAIN.PC_MM.lambda_pc_mm = 0.0
-    c2.TRAIN.PC_MM.lambda_sam_cons = 0.0
-    models2, _ = trainer_mod.build_models(c2, output_all=False)
-    state2 = trainer_mod.create_train_state(c2, models2, src)
-    step2 = trainer_mod.make_train_step(c2, models2, with_pl=True, with_ema=False)
-    run_step(step2, state2, name="step: xm+pl (no vgi/sam)")
+    def ablated_step(name, **lam):
+        ca = c.clone()
+        for k, v in lam.items():
+            setattr(ca.TRAIN.PC_MM, k, v)
+        out_all = any("sam" in k and v > 0 for k, v in lam.items()) or \
+            float(ca.TRAIN.PC_MM.lambda_sam_cons) > 0
+        ma, _ = trainer_mod.build_models(ca, output_all=out_all)
+        sa = trainer_mod.create_train_state(ca, ma, src)
+        run_step(trainer_mod.make_train_step(ca, ma, with_pl=True,
+                                             with_ema=False), sa, name=name)
+
+    ablated_step("step: xm+pl (no vgi/sam)",
+                 lambda_pc_mm=0.0, lambda_sam_cons=0.0)
+    ablated_step("step: xm+pl+vgi (no sam)", lambda_sam_cons=0.0)
+    ablated_step("step: xm+pl+sam (no vgi)", lambda_pc_mm=0.0)
 
     step = trainer_mod.make_train_step(c, models, with_pl=True, with_ema=False)
     run_step(step, state, name="step: full MoPA")
