@@ -175,3 +175,33 @@ def test_warmup_multistep_lr_matches_torch_formula():
             got = float(np.asarray(sched(step)))
             np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=(
                 method, step))
+
+
+def test_wire_elision_roundtrip():
+    """device_batch drops derivable arrays (valid masks -> counts, all-ones
+    feats -> (B, C) marker, batch_idx/coords) and decode_batch rebuilds them
+    in-graph, bit-exactly."""
+    import numpy as np
+
+    from mopa_tpu.config.xmuda import cfg as base_cfg
+    from mopa_tpu.data.build import build_dataloader
+    from mopa_tpu.train.common import decode_batch, device_batch
+
+    c = base_cfg.clone()
+    c.merge_from_file("configs/synthetic/mopa_smoke.yaml")
+    c.TRAIN.BATCH_SIZE = 2
+    c.TPU.POINT_BUDGET = 512
+    raw = next(iter(build_dataloader(c, "train", "target")))
+    dev = device_batch(raw)
+    for k in ("point_valid", "ori_point_valid", "ori_points_valid", "feats",
+              "ori_feats", "batch_idx"):
+        assert k not in dev, k
+    dec = decode_batch(dev)
+    for k in ("point_valid", "ori_point_valid", "ori_points_valid", "feats",
+              "ori_feats"):
+        np.testing.assert_array_equal(
+            np.asarray(raw[k], np.float32), np.asarray(dec[k], np.float32),
+            err_msg=k)
+    # strip_ema keeps the EMA-only markers off the wire entirely
+    lean = device_batch(raw, strip_ema=True)
+    assert "ori_feats_ones" not in lean and "ori_num_points" not in lean
