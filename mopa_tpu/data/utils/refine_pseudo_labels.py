@@ -48,20 +48,23 @@ def refine_pseudo_labels_jax(probs: jax.Array, pseudo_label: jax.Array,
     probs = probs.astype(jnp.float32)
     labels = pseudo_label.astype(jnp.int32)
 
-    def class_thresh(ci):
-        sel = (labels == ci) & valid
-        # median over selected: sort probs with non-selected pushed to +inf,
-        # then index the middle of the selected prefix
-        n_sel = jnp.sum(sel)
-        vals = jnp.where(sel, probs, jnp.inf)
-        vals = jnp.sort(vals)
-        n = jnp.maximum(n_sel, 1)
-        lo = (n - 1) // 2
-        hi = n // 2
-        med = 0.5 * (vals[lo] + vals[hi])
-        return jnp.minimum(med, 0.9), n_sel > 0
-
-    threshs, present = jax.vmap(class_thresh)(jnp.arange(num_classes))
+    # ALL per-class medians from ONE label-major/prob-minor sort (instead of
+    # a full sort per class): class c's confidences occupy the sorted run
+    # [starts[c], starts[c] + counts[c]), so each median is rank arithmetic
+    # plus a 2-element gather
+    n_pts = probs.shape[0]
+    sel = valid & (labels >= 0) & (labels < num_classes)
+    key = jnp.where(sel, labels, num_classes)
+    _, vals = jax.lax.sort((key, probs), num_keys=2)
+    cls = jnp.arange(num_classes, dtype=jnp.int32)
+    counts = jnp.sum(key[:, None] == cls[None, :], axis=0)
+    starts = jnp.cumsum(counts) - counts
+    n = jnp.maximum(counts, 1)
+    lo = jnp.clip(starts + (n - 1) // 2, 0, n_pts - 1)
+    hi = jnp.clip(starts + n // 2, 0, n_pts - 1)
+    med = 0.5 * (vals[lo] + vals[hi])
+    threshs = jnp.minimum(med, 0.9)
+    present = counts > 0
     safe = jnp.clip(labels, 0, num_classes - 1)
     th = jnp.where(present[safe], threshs[safe], -jnp.inf)
     keep = probs >= th

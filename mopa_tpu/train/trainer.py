@@ -334,11 +334,13 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
             lab = jnp.argmax(probs, axis=-1).astype(jnp.int32)
             return refine_pseudo_labels_jax(conf, lab, valid_flat, num_classes)
 
-        ps_xm = refine(probs_xm)
-        ps_2d_s = refine(probs_2d)
-        ps_3d_s = refine(probs_3d)
-        ps_2d = jnp.where(use_xm, ps_xm, ps_2d_s)
-        ps_3d = jnp.where(use_xm, ps_xm, ps_3d_s)
+        # lax.cond: the xm branch needs ONE refinement sort, the separate
+        # branch two — never all three (each refine sorts B*P confidences)
+        ps_2d, ps_3d = jax.lax.cond(
+            use_xm,
+            lambda _: (lambda ps: (ps, ps))(refine(probs_xm)),
+            lambda _: (refine(probs_2d), refine(probs_3d)),
+            None)
 
         # gather teacher labels onto the student (augmented) points
         emap = batch_trg["ema_map"]  # (B, P) index into this sample's ori pts
