@@ -582,14 +582,53 @@ def submanifold_conv(feats: jax.Array, nbr: jax.Array, weight: jax.Array,
     return out
 
 
+def _down_gather_wide(feats: jax.Array, nbr: jax.Array) -> jax.Array:
+    """(Vc, 8) stride-2 gather as 4 DOUBLE-width window reads -> (Vc, 8*C).
+
+    The 8 kernel offsets pair by (dx, dy): offsets 2j / 2j+1 differ only in
+    dz, and their fine keys (2x+a, 2y+b, 2z) / (.., 2z+1) are CONSECUTIVE
+    integers — adjacent rows of the sorted-unique fine table whenever both
+    exist. Gathers are per-row rate-bound on TPU, so one 2C-wide row per
+    pair halves the down-conv gather rows. Window starts and existence
+    masks derive ELEMENTWISE from the exact (Vc, 8) map — no extra plan
+    arrays, no wire changes. Output blocks align with
+    ``weight.reshape(8*Cin, Cout)`` (dz-fastest offset order)."""
+    vc = nbr.shape[0]
+    vf, c = feats.shape
+    s0, s1 = nbr[:, 0::2], nbr[:, 1::2]                  # (Vc, 4) dz pairs
+    e0, e1 = s0 >= 0, s1 >= 0
+    rank = jnp.where(e0, s0, jnp.where(e1, s1, vf)).reshape(vc * 4)
+    zero = jnp.zeros((1, c), feats.dtype)
+    fp = jnp.concatenate([feats, zero])
+    fw = jnp.concatenate([fp[:vf], fp[1:vf + 1]], axis=1)  # (Vf, 2C)
+    g = fw[jnp.clip(rank, 0, vf - 1)]                    # (Vc*4, 2C)
+    # dz alignment: [e0 ? g[:C] : 0, e0&e1 ? g[C:] : (e1 ? g[:C] : 0)]
+    e0f = e0.reshape(vc * 4, 1)
+    e1f = e1.reshape(vc * 4, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * c), 1) >= c
+    dt = feats.dtype
+    m0 = jnp.where(lane, e0f & e1f, e0f).astype(dt)
+    m1 = (lane & (~e0f) & e1f).astype(dt)
+    sh1 = jnp.pad(g[:, :c], ((0, 0), (c, 0)))            # subrow 0 -> slot 1
+    return (m0 * g + m1 * sh1).reshape(vc, 8 * c)
+
+
+def _down_fwd_impl(fine_feats, weight, down_nbr):
+    k, cin, cout = weight.shape
+    gathered = _down_gather_wide(fine_feats, down_nbr)   # (Vc, 8*Cin)
+    w2d = weight.reshape(k * cin, cout).astype(fine_feats.dtype)
+    return jnp.dot(gathered, w2d,
+                   preferred_element_type=fine_feats.dtype), gathered
+
+
 @jax.custom_vjp
 def _strided_conv(fine_feats, weight, down_nbr, f2c, up_off, fine_valid):
-    out, _ = _conv_fwd_impl(fine_feats, weight, down_nbr)
+    out, _ = _down_fwd_impl(fine_feats, weight, down_nbr)
     return out
 
 
 def _strided_fwd(fine_feats, weight, down_nbr, f2c, up_off, fine_valid):
-    out, _ = _conv_fwd_impl(fine_feats, weight, down_nbr)
+    out, _ = _down_fwd_impl(fine_feats, weight, down_nbr)
     return out, (fine_feats, weight, down_nbr, f2c, up_off, fine_valid)
 
 
@@ -617,7 +656,7 @@ def _strided_bwd(res, g):
     fine_feats, weight, down_nbr, f2c, up_off, fine_valid = res
     k, cin, cout = weight.shape
     g = g.astype(fine_feats.dtype)
-    gathered = _gather_concat(fine_feats, down_nbr)
+    gathered = _down_gather_wide(fine_feats, down_nbr)
     d_w = jnp.dot(gathered.T, g, preferred_element_type=jnp.float32)
     d_w = d_w.reshape(k, cin, cout).astype(weight.dtype)
     g_f = _masked_take(g, f2c)  # (Vf, Cout)
@@ -663,7 +702,7 @@ def _deconv_bwd(res, g):
     coarse_feats, weight, f2c, up_off, fine_valid, down_nbr = res
     k, cin, cout = weight.shape
     g = jnp.where(fine_valid[:, None], g, 0.0).astype(coarse_feats.dtype)
-    g_gathered = _gather_concat(g, down_nbr)  # (Vc, K*Cout)
+    g_gathered = _down_gather_wide(g, down_nbr)  # (Vc, K*Cout)
     w_t = jnp.transpose(weight, (0, 2, 1)).reshape(k * cout, cin)
     d_coarse = jnp.dot(g_gathered, w_t.astype(g.dtype),
                        preferred_element_type=coarse_feats.dtype)
