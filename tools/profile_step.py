@@ -104,6 +104,16 @@ def main():
 
         chained(dec_fn, dec_feedback, (hp_arrs,), name="host-plan wire decode")
 
+    # 1c. stem point->voxel pooling (colliding scatter-add — candidate for
+    # a sorted segment-sum if this shows up hot)
+    from mopa_tpu.ops import voxel as voxel_ops
+
+    cap0 = plan.levels[0].valid.shape[0]
+    pool_fn = jax.jit(lambda f: voxel_ops.pool_features(
+        f, plan.point_inverse, plan.point_counts, cap0))
+    chained(pool_fn, lambda out, args: (args[0] + 0 * out[:1, :1].sum(),),
+            (src["feats"],), name="stem pool (scatter-add)")
+
     # 2. 3D forward, chained through feats
     fwd3d = jax.jit(lambda feats: models.model_3d.apply(
         {"params": state.params_3d, "batch_stats": state.batch_stats_3d},
