@@ -110,7 +110,8 @@ def validate(cfg, state, models, dataloader, val_metric_logger, logger,
         pred_2d = probs_2d.argmax(-1)
         pred_3d = probs_3d.argmax(-1)
         if use_knn and "points_xyz" in dev_batch:
-            pv = dev_batch["point_valid"]
+            # the wire elides derivable masks; the raw host batch keeps them
+            pv = jnp.asarray(batch["point_valid"])
             if knn_prob:
                 summed = np.asarray(knn_step(dev_batch["points_xyz"], pv,
                                              jnp.asarray(probs_3d)))

@@ -66,6 +66,12 @@ class UNetPlan(NamedTuple):
     point_inverse: jax.Array   # (N,) point -> level-0 slot (-1 padding)
     point_counts: jax.Array    # (V_0,)
     num_voxels: jax.Array      # (L,) active voxel counts, diagnostics/overflow
+    # scatter-free input pooling (voxel.pool_features_sorted): position of
+    # each voxel's LAST point in run order, and run-order -> original-point
+    # permutation (None = original order is already run-contiguous, e.g.
+    # host-presorted batches). point_end None = legacy scatter pooling.
+    point_end: jax.Array | None = None   # (V_0,)
+    point_perm: jax.Array | None = None  # (N,)
 
 
 # Per-level capacity as a fraction of the point budget. Measured on
@@ -123,9 +129,13 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
         # have globally unique, sample-major-sorted keys (window reads that
         # cross a sample boundary can then never false-match)
         sid_batch = jnp.full((p,), sid, jnp.int32)
-        table, inverse, counts = voxel_ops.voxelize(c, sid_batch, v,
-                                                    capacities[0],
-                                                    presorted=presorted)
+        table, inverse, counts, perm = voxel_ops.voxelize(
+            c, sid_batch, v, capacities[0], presorted=presorted,
+            return_perm=True)
+        # per-voxel last-point position in run (sorted) order — runs are
+        # contiguous from 0 (valid points sort first), so ends come from the
+        # counts alone (voxel.pool_features_sorted)
+        end_pos = jnp.cumsum(counts) - 1
         levels = []
         nums = []
         prev = table
@@ -153,9 +163,9 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
                                                  capacities[l + 1])
                 pending = (down_nbr, f2c, up_off)
                 prev = coarse
-        return levels, inverse, counts, jnp.stack(nums)
+        return levels, inverse, counts, jnp.stack(nums), end_pos, perm
 
-    levels_b, inverse_b, counts_b, nums_b = jax.vmap(one)(
+    levels_b, inverse_b, counts_b, nums_b, ends_b, perm_b = jax.vmap(one)(
         coords, valid, jnp.arange(s, dtype=jnp.int32))
 
     def offset_flat(arr, cap, sentinel_to=-1):
@@ -188,10 +198,15 @@ def build_unet_plan_batched(coords, valid, num_levels: int,
             ranks=offset_flat(ranks_b, capacities[l]),
             sel=sel_b.reshape(-1),
         ))
+    # point-space (not slot-space) offsets for the pooling run positions
+    poff = (jnp.arange(s, dtype=jnp.int32) * p)[:, None]
     return UNetPlan(levels=tuple(levels),
                     point_inverse=offset_flat(inverse_b, capacities[0]),
                     point_counts=counts_b.reshape(-1),
-                    num_voxels=jnp.sum(nums_b, axis=0))
+                    num_voxels=jnp.sum(nums_b, axis=0),
+                    point_end=(ends_b + poff).reshape(-1),
+                    point_perm=(None if presorted
+                                else (perm_b + poff).reshape(-1)))
 
 
 HOST_PLAN_KEYS = ("rankn", "ebits", "cbits", "downn", "downe", "f2c",
@@ -327,10 +342,17 @@ def plan_from_host_arrays(arrs, capacities, num_levels: int,
     inv = jnp.asarray(arrs["inverse"]).astype(jnp.int32)
     ioff = (jnp.arange(s, dtype=jnp.int32) * cap0).reshape(s, 1)
     inverse = jnp.where(inv >= 0, inv + ioff, -1).reshape(-1)
-    counts = jnp.asarray(arrs["counts"]).astype(jnp.int32).reshape(-1)
+    counts_b2 = jnp.asarray(arrs["counts"]).astype(jnp.int32)  # (S, cap0)
     nums = jnp.sum(nums_b, axis=0)
+    # host-presorted batches: each voxel's points are one contiguous run in
+    # point order, so the scatter-free pooling end positions come from the
+    # per-sample counts alone (+ the sample's point-space base)
+    p_pts = inv.shape[1]
+    poff = (jnp.arange(s, dtype=jnp.int32) * p_pts)[:, None]
+    point_end = (jnp.cumsum(counts_b2, axis=1) - 1 + poff).reshape(-1)
     return UNetPlan(levels=tuple(levels), point_inverse=inverse,
-                    point_counts=counts, num_voxels=nums)
+                    point_counts=counts_b2.reshape(-1), num_voxels=nums,
+                    point_end=point_end, point_perm=None)
 
 
 def build_unet_plan(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
@@ -433,11 +455,30 @@ def concat_plans(plans: Sequence[UNetPlan]) -> UNetPlan:
                  if lv[0].sel is not None else None),
             p2a=p2a))
     cap0 = [p.levels[0].valid.shape[0] for p in plans]
+    npts = [p.point_inverse.shape[0] for p in plans]
+    have_end = all(p.point_end is not None for p in plans)
+    if have_end:
+        # point-space offsets; a plan with no explicit perm contributes the
+        # identity over its own point range
+        point_end = shifted([p.point_end for p in plans], npts)
+        if any(p.point_perm is not None for p in plans):
+            parts, off = [], 0
+            for p, n in zip(plans, npts):
+                perm = (jnp.arange(n, dtype=jnp.int32)
+                        if p.point_perm is None else p.point_perm)
+                parts.append(perm + off)
+                off += n
+            point_perm = jnp.concatenate(parts)
+        else:
+            point_perm = None
+    else:
+        point_end = point_perm = None
     return UNetPlan(
         levels=tuple(levels),
         point_inverse=shifted([p.point_inverse for p in plans], cap0),
         point_counts=jnp.concatenate([p.point_counts for p in plans]),
-        num_voxels=sum(p.num_voxels for p in plans))
+        num_voxels=sum(p.num_voxels for p in plans),
+        point_end=point_end, point_perm=point_perm)
 
 
 class _BN(nn.Module):
@@ -499,9 +540,16 @@ class SparseUNet(nn.Module):
         cdt = self.compute_dtype
 
         # InputLayer mode=4: mean-pool duplicate points into level-0 voxels
+        # (scatter-free segmented-scan path when the plan carries run ends)
         cap0 = plan.levels[0].valid.shape[0]
-        x = voxel_ops.pool_features(point_feats.astype(cdt), plan.point_inverse,
-                                    plan.point_counts, cap0)
+        if plan.point_end is not None:
+            x = voxel_ops.pool_features_sorted(
+                point_feats.astype(cdt), plan.point_inverse,
+                plan.point_counts, plan.point_end, plan.point_perm, cap0)
+        else:
+            x = voxel_ops.pool_features(point_feats.astype(cdt),
+                                        plan.point_inverse,
+                                        plan.point_counts, cap0)
 
         # stem: SubmanifoldConvolution(in_channels -> m), no bias (ref :27)
         w_stem = self.param("stem", _conv_init, (27, self.in_channels, self.m))

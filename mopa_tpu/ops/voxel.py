@@ -29,6 +29,7 @@ no int64.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -77,7 +78,8 @@ def pack_keys(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array):
 
 
 def voxelize(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
-             capacity: int | None = None, presorted: bool = False):
+             capacity: int | None = None, presorted: bool = False,
+             return_perm: bool = False):
     """Build the active-voxel table plus the point→voxel inverse map.
 
     Args:
@@ -157,7 +159,77 @@ def voxelize(coords: jax.Array, batch_idx: jax.Array, valid: jax.Array,
 
     table = VoxelTable(coords=t_coords, batch=t_batch, key_hi=t_hi, key_lo=t_lo,
                        num=num_voxels)
+    if return_perm:
+        return table, inverse, counts, s_perm
     return table, inverse, counts
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def pool_features_sorted(feats, inverse, counts, end_pos, perm,
+                         capacity: int, mode: str = "mean"):
+    """Scatter-free point->voxel pooling for run-contiguous layouts.
+
+    TPU scatter-adds are per-row rate-bound (~5.5 M rows/s); the legacy
+    :func:`pool_features` scatter over every point was the last colliding
+    scatter in the train step. When points are sorted by voxel key (the
+    host pre-sorts train batches; device plan builds know their sort
+    permutation), each voxel's points form one contiguous run, so pooling
+    is a segmented associative scan (reset at run boundaries — magnitudes
+    never exceed one run's sum, unlike a global cumsum) plus ONE gather of
+    each run's last prefix value at ``end_pos``.
+
+    Args:
+        feats: (N, C) point features, any float dtype.
+        inverse: (N,) point -> voxel slot (-1 padding), as in
+            :func:`voxelize`.
+        counts: (V,) points per voxel.
+        end_pos: (V,) position (in run order) of each voxel's LAST point;
+            arbitrary where ``counts == 0`` (masked).
+        perm: (N,) run-order -> original point index, or None when the
+            original order is already run-contiguous.
+        mode: 'mean' or 'sum'.
+
+    The backward is exact and gather-only: d_feats[p] =
+    d_pooled[inverse[p]] (/ counts for 'mean').
+    """
+    n = feats.shape[0]
+    xs = feats if perm is None else feats[jnp.clip(perm, 0, n - 1)]
+    inv_s = inverse if perm is None else inverse[jnp.clip(perm, 0, n - 1)]
+    prev = jnp.concatenate([jnp.full((1,), -2, inv_s.dtype), inv_s[:-1]])
+    reset = (inv_s != prev)[:, None]
+
+    def combine(a, b):
+        (sa, fa), (sb, fb) = a, b
+        return jnp.where(fb, sb, sa + sb), fa | fb
+
+    run_sum, _ = jax.lax.associative_scan(combine, (xs, reset))
+    pooled = run_sum[jnp.clip(end_pos, 0, n - 1)]
+    pooled = jnp.where((counts > 0)[:, None], pooled, 0.0)
+    if mode == "mean":
+        pooled = pooled / jnp.maximum(counts, 1).astype(feats.dtype)[:, None]
+    elif mode != "sum":
+        raise ValueError(mode)
+    return pooled.astype(feats.dtype)
+
+
+def _pool_sorted_fwd(feats, inverse, counts, end_pos, perm, capacity, mode):
+    out = pool_features_sorted(feats, inverse, counts, end_pos, perm,
+                               capacity, mode)
+    return out, (inverse, counts, jnp.zeros((0,), feats.dtype))
+
+
+def _pool_sorted_bwd(capacity, mode, res, g):
+    inverse, counts, dt_carrier = res
+    valid = inverse >= 0
+    safe = jnp.clip(inverse, 0, capacity - 1)
+    d = g[safe]
+    if mode == "mean":
+        d = d / jnp.maximum(counts, 1).astype(g.dtype)[safe][:, None]
+    d = jnp.where(valid[:, None], d, 0.0).astype(dt_carrier.dtype)
+    return d, None, None, None, None
+
+
+pool_features_sorted.defvjp(_pool_sorted_fwd, _pool_sorted_bwd)
 
 
 def pool_features(feats: jax.Array, inverse: jax.Array, counts: jax.Array,

@@ -361,3 +361,58 @@ def test_collate_sort_points_preserves_alignment():
             assert em_s[j] >= 0
             np.testing.assert_array_equal(oc_p[em_p[i]], oc_s[em_s[j]])
         # (a -1 stays -1 up to ori-budget truncation differences)
+
+
+def test_pool_features_sorted_matches_scatter():
+    """pool_features_sorted (segmented scan + end gather, scatter-free) ==
+    pool_features (colliding scatter-add) on both the perm (unsorted input)
+    and identity (presorted input) layouts, values and grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mopa_tpu.ops import voxel as V
+
+    rng = np.random.default_rng(3)
+    n, cap = 600, 256
+    coords = rng.integers(0, 8, (n, 3)).astype(np.int32)
+    valid = rng.random(n) < 0.9
+    batch = np.zeros(n, np.int32)
+    feats = rng.normal(size=(n, 5)).astype(np.float32)
+
+    t, inv, cnt, perm = V.voxelize(jnp.asarray(coords), jnp.asarray(batch),
+                                   jnp.asarray(valid), cap, return_perm=True)
+    ends = jnp.cumsum(cnt) - 1
+    for mode in ("mean", "sum"):
+        ref = V.pool_features(jnp.asarray(feats), inv, cnt, cap, mode=mode)
+        new = V.pool_features_sorted(jnp.asarray(feats), inv, cnt, ends,
+                                     perm, cap, mode)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(new),
+                                   rtol=3e-6, atol=3e-6, err_msg=mode)
+
+    def l_old(f):
+        return jnp.sum(V.pool_features(f, inv, cnt, cap) ** 2)
+
+    def l_new(f):
+        return jnp.sum(V.pool_features_sorted(f, inv, cnt, ends, perm,
+                                              cap) ** 2)
+
+    g1 = jax.grad(l_old)(jnp.asarray(feats))
+    g2 = jax.grad(l_new)(jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=3e-5,
+                               atol=3e-6)
+
+    # presorted layout: identity perm (None)
+    key = (coords[:, 0].astype(np.int64) * 4096
+           + coords[:, 1]) * 4096 + coords[:, 2]
+    order = np.argsort(np.where(valid, key, 2 ** 62), kind="stable")
+    t2, inv2, cnt2 = V.voxelize(jnp.asarray(coords[order]),
+                                jnp.asarray(batch),
+                                jnp.asarray(valid[order]), cap,
+                                presorted=True)
+    ends2 = jnp.cumsum(cnt2) - 1
+    ref2 = V.pool_features(jnp.asarray(feats[order]), inv2, cnt2, cap)
+    new2 = V.pool_features_sorted(jnp.asarray(feats[order]), inv2, cnt2,
+                                  ends2, None, cap)
+    np.testing.assert_allclose(np.asarray(ref2), np.asarray(new2),
+                               rtol=3e-6, atol=3e-6)
