@@ -92,15 +92,17 @@ EMA_ONLY_PREFIX = "hp_ori_"
 _DERIVED_KEYS = ("batch_idx", "ori_batch_idx")
 
 
-def device_batch(batch, strip_ema: bool = False):
+def device_batch(batch, strip_ema: bool = False, strip_keys=()):
     """Ship a collated numpy batch to device in its compact wire dtypes.
     ``strip_ema`` drops the EMA-teacher-only keys (pre-``ema_start_iter``
-    phases never read them — ~45% of target-batch bytes). Derivable arrays
-    stay off the wire: validity masks rebuild from their per-sample counts,
-    and all-ones SCN feature columns collapse to a (B, C) ones marker —
-    ``decode_batch`` reconstructs everything in-graph."""
+    phases never read them — ~45% of target-batch bytes); ``strip_keys``
+    drops additional dead-weight keys (the train loop strips the TARGET
+    stream's ground-truth ``seg_label`` — UDA never reads it). Derivable
+    arrays stay off the wire: validity masks rebuild from their per-sample
+    counts, and all-ones SCN feature columns collapse to a (B, C) ones
+    marker — ``decode_batch`` reconstructs everything in-graph."""
     def keep(k):
-        if k == "_meta" or k in _DERIVED_KEYS:
+        if k == "_meta" or k in _DERIVED_KEYS or k in strip_keys:
             return False
         if strip_ema and (k in EMA_ONLY_KEYS or k.startswith(EMA_ONLY_PREFIX)):
             return False
@@ -197,7 +199,8 @@ def decode_batch(batch):
     return out
 
 
-def device_prefetch(iterator, depth: int = 1, strip_ema: bool = False):
+def device_prefetch(iterator, depth: int = 1, strip_ema: bool = False,
+                    strip_keys=()):
     """Iterate device-resident batches whose host->device transfers run in a
     BACKGROUND thread. On the tunneled backend device_put blocks until the
     bytes are shipped (~80 MB/s), so in-line transfers serialise with
@@ -215,7 +218,8 @@ def device_prefetch(iterator, depth: int = 1, strip_ema: bool = False):
             for b in iterator:
                 if stop.is_set():
                     return
-                q.put(device_batch(b, strip_ema=strip_ema))
+                q.put(device_batch(b, strip_ema=strip_ema,
+                                   strip_keys=strip_keys))
             q.put(sentinel)
         except BaseException as e:  # propagate, don't masquerade as end-of-data
             q.put(e)
@@ -327,7 +331,8 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
     # host->device transfers (about 45% of target-batch bytes)
     in_ema = start_iteration >= ema_start
     src_iter = device_prefetch(train_src, strip_ema=not in_ema)
-    trg_iter = (device_prefetch(train_trg, strip_ema=not in_ema)
+    trg_iter = (device_prefetch(train_trg, strip_ema=not in_ema,
+                                strip_keys=("seg_label",))
                 if has_trg else None)
     end = time.time()
     eval_dict = {}
@@ -345,7 +350,8 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
             if has_trg:
                 train_trg = build_dataloader(cfg, "train", "target",
                                              start_iteration=iteration)
-                trg_iter = device_prefetch(train_trg)
+                trg_iter = device_prefetch(train_trg,
+                                           strip_keys=("seg_label",))
         batch_src = next(src_iter)
         batch_trg = next(trg_iter) if has_trg else batch_src
 
