@@ -3,8 +3,10 @@
 Behaviour mirrors the reference (``mopa/common/utils/metric_logger.py:15-135``):
 ``AverageMeter`` keeps a sliding window (deque of 20) plus global totals;
 ``MetricLogger.update`` accepts Python scalars, numpy arrays and JAX arrays;
-``iou_to_excel`` exports class-wise IoU tables (CSV here — openpyxl is not in
-the TPU image; the file keeps the requested name with a ``.csv`` suffix swap).
+``iou_to_excel`` exports class-wise IoU tables as real .xlsx workbooks (the
+reference uses openpyxl, which is absent from the TPU image; the
+dependency-free writer in :mod:`mopa_tpu.common.xlsx` produces the same
+format), or CSV when a ``.csv`` path is given.
 """
 
 from collections import defaultdict, deque
@@ -118,20 +120,25 @@ class MetricLogger(object):
 
 
 def iou_to_excel(eval_dict, save_pth, modality_ls):
-    """Write class-wise IoU per modality. The reference writes an .xlsx via
-    openpyxl (``metric_logger.py:119-135``); here we emit CSV (same table) and
-    keep the caller-facing signature."""
-    if save_pth.endswith(".xlsx"):
-        save_pth = save_pth[: -len(".xlsx")] + ".csv"
+    """Write class-wise IoU per modality as a real .xlsx workbook
+    (format parity with the reference's openpyxl export,
+    ``metric_logger.py:119-135``) via the dependency-free writer in
+    :mod:`mopa_tpu.common.xlsx`. A ``.csv`` path gets the same table as CSV."""
     rows = []
     header = None
     for modality in modality_ls:
         evaluator = eval_dict[modality]
         if header is None:
             header = ["modality"] + list(evaluator.class_names) + ["overall_iou"]
-            rows.append(",".join(header))
-        ious = ["{:.4f}".format(0.0 if np.isnan(v) else v) for v in evaluator.class_iou]
-        rows.append(",".join([modality] + ious + ["{:.4f}".format(evaluator.overall_iou)]))
-    with open(save_pth, "w") as f:
-        f.write("\n".join(rows) + "\n")
-    return save_pth
+            rows.append(header)
+        ious = [round(0.0 if np.isnan(v) else float(v), 4)
+                for v in evaluator.class_iou]
+        rows.append([modality] + ious + [round(float(evaluator.overall_iou), 4)])
+    if save_pth.endswith(".csv"):
+        with open(save_pth, "w") as f:
+            f.write("\n".join(",".join(str(c) for c in row)
+                              for row in rows) + "\n")
+        return save_pth
+    from mopa_tpu.common.xlsx import write_xlsx
+
+    return write_xlsx(save_pth, rows, sheet_name="class_iou")

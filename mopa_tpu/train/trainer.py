@@ -172,15 +172,27 @@ def create_train_state(cfg, models: Models, example_batch, seed=None):
             weights = cfg.TPU.RESNET34_WEIGHTS
         weights = weights or _os.environ.get("MOPA_RESNET34_WEIGHTS", "")
         if weights and _os.path.isfile(weights):
-            import torch
-
             from mopa_tpu.models.torch_compat import (load_resnet34_encoder,
                                                       unflatten_into)
 
-            sd = torch.load(weights, map_location="cpu", weights_only=False)
-            if hasattr(sd, "state_dict"):
-                sd = sd.state_dict()
-            p_flat, s_flat = load_resnet34_encoder(sd)
+            if weights.endswith(".npz"):
+                # pre-converted flax-format arrays (tools/convert_resnet34.py)
+                # — no torch needed at load time
+                import numpy as _np
+
+                z = _np.load(weights)
+                p_flat = {k[len("params."):]: z[k] for k in z.files
+                          if k.startswith("params.")}
+                s_flat = {k[len("batch_stats."):]: z[k] for k in z.files
+                          if k.startswith("batch_stats.")}
+            else:
+                import torch
+
+                sd = torch.load(weights, map_location="cpu",
+                                weights_only=False)
+                if hasattr(sd, "state_dict"):
+                    sd = sd.state_dict()
+                p_flat, s_flat = load_resnet34_encoder(sd)
             params_2d = unflatten_into(params_2d, p_flat)
             batch_stats_2d = unflatten_into(batch_stats_2d, s_flat)
         elif jax.process_index() == 0:

@@ -4,6 +4,8 @@
 either, ``mopa/models/xmuda_arch.py:97``; these are working TPU-native
 implementations)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +13,8 @@ import numpy as np
 from mopa_tpu.train import trainer
 
 from test_trainer import tiny_cfg, _loaders, _device_batch
+
+pytestmark = pytest.mark.slow  # heavy: see pytest.ini
 
 
 def test_salsanext_forward_shapes():

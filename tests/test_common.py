@@ -134,14 +134,33 @@ def test_checkpointer_ring_and_resume(tmp_path):
     np.testing.assert_array_equal(sp2.d["model"]["w"], np.arange(4, dtype=np.float32))
 
 
-def test_iou_to_excel_csv(tmp_path):
+def test_iou_to_excel_writes_real_xlsx(tmp_path):
+    """Format parity with the reference's openpyxl export
+    (mopa/common/utils/metric_logger.py:119-135): a real .xlsx workbook."""
     class FakeEval:
         class_names = ("car", "road")
         class_iou = [0.5, float("nan")]
         overall_iou = 0.25
 
-    out = iou_to_excel({"2D": FakeEval()}, str(tmp_path / "t.xlsx"), ["2D"])
-    assert out.endswith(".csv") and os.path.exists(out)
+    out = iou_to_excel({"2D": FakeEval(), "3D": FakeEval()},
+                       str(tmp_path / "t.xlsx"), ["2D", "3D"])
+    assert out.endswith(".xlsx") and os.path.exists(out)
+
+    import zipfile
+
+    assert zipfile.is_zipfile(out)  # xlsx is a zip container
+    from mopa_tpu.common.xlsx import read_xlsx_rows
+
+    rows = read_xlsx_rows(out)
+    assert rows[0] == ["modality", "car", "road", "overall_iou"]
+    assert rows[1] == ["2D", 0.5, 0.0, 0.25]  # NaN IoU -> 0.0 like reference
+    assert rows[2][0] == "3D"
+
+    # .csv path still produces the same table as CSV
+    out_csv = iou_to_excel({"2D": FakeEval()}, str(tmp_path / "t.csv"), ["2D"])
+    assert out_csv.endswith(".csv")
+    with open(out_csv) as f:
+        assert f.readline().strip() == "modality,car,road,overall_iou"
 
 
 def test_warmup_multistep_lr_matches_torch_formula():

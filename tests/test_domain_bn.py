@@ -7,6 +7,8 @@ pass numerically identical to running the passes separately, including the
 sequential running-stat updates.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,6 +59,7 @@ def test_domain_batchnorm_matches_sequential_passes():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sparse_unet_fused_domains_match_separate_forwards():
     rng = np.random.default_rng(1)
     n, m, levels = 200, 4, 3
@@ -119,6 +122,7 @@ def test_sparse_unet_fused_domains_match_separate_forwards():
         bs_fused, bs_sep)
 
 
+@pytest.mark.slow
 def test_unet_resnet34_fused_domains_match_separate_forwards():
     rng = np.random.default_rng(2)
     b, h, w = 2, 32, 32

@@ -1,5 +1,7 @@
 """Driver entry points compile and run on the CPU mesh."""
 
+import pytest
+
 import sys
 import os
 
@@ -7,6 +9,8 @@ import jax
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+pytestmark = pytest.mark.slow  # heavy: see pytest.ini
 
 
 def test_entry_forward():

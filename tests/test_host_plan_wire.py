@@ -20,6 +20,8 @@ from mopa_tpu.data import native_loader as nl
 from mopa_tpu.models.scn_unet import (build_unet_plan_batched,
                                       plan_from_host_arrays)
 
+pytestmark = pytest.mark.slow  # heavy: see pytest.ini
+
 
 def _sample_batch(rng, s, p):
     coords_b, valid_b = [], []

@@ -1,3 +1,5 @@
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +18,7 @@ def _cloud(rng, n, scale=256, batch=2, n_pad=16):
     return coords, batch_idx, valid
 
 
+@pytest.mark.slow
 def test_sparse_unet_forward_shapes_and_padding():
     rng = np.random.default_rng(0)
     n_levels = 4  # keep the test small; production uses 7

@@ -1,6 +1,8 @@
 """Tests for ground fitting, KNN post-processing, on-device projection and
 the jittable VGI insertion."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +70,7 @@ def test_occlusion_removal_matches_host():
     assert agree > 0.99, agree
 
 
+@pytest.mark.slow
 def test_vgi_insert_sample_places_on_ground():
     rng = np.random.default_rng(2)
     n = 2000
@@ -119,6 +122,7 @@ def test_vgi_insert_sample_places_on_ground():
     # (checked implicitly by extent preservation above)
 
 
+@pytest.mark.slow
 def test_vgi_insert_respects_collisions():
     # scene fully occupied near ground level -> no valid insertion:
     # one point at the center of EVERY 0.5m voxel in the search window
@@ -185,6 +189,7 @@ def test_vgi_online_ground_fallback():
     assert inserted.any(), "online ground fallback produced no insertions"
 
 
+@pytest.mark.slow
 def test_vgi_multi_object_insertion_no_overlap():
     """multi_objs: >=2 objects inserted in one scan, pairwise non-overlapping
     (reference point_mixmatch iterates obj_pc_ls, mixmatch_ss.py:110-212)."""
@@ -421,6 +426,7 @@ def _vgi_scene(kind, rng):
     return pts, g_mask
 
 
+@pytest.mark.slow
 def test_vgi_valid_center_set_matches_reference_algorithm():
     """The SAT-based candidate grid must produce EXACTLY the reference's
     valid-center voxel set (conv3d==0 semantics + conditions 1-3) on several

@@ -57,6 +57,8 @@ import torch
 import torch.nn as tnn
 import torch.nn.functional as F
 
+pytestmark = pytest.mark.slow  # heavy: see pytest.ini
+
 
 class TAttn(tnn.Module):
     def __init__(self, dim, heads, rate=1):

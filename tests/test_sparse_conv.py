@@ -1,3 +1,5 @@
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -186,6 +188,7 @@ def _naive_submanifold(feats, nbr, w):
     return out
 
 
+@pytest.mark.slow
 def test_custom_vjp_matches_autodiff():
     rng = np.random.default_rng(7)
     cin, cout, cmid, cup = 3, 5, 4, 6
@@ -358,6 +361,7 @@ def test_wide_conv_matches_exact_conv_and_grads():
     np.testing.assert_allclose(gw2, gw1, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_zdense_conv_matches_exact_neighbour_conv():
     """submanifold_conv_zdense (z-padded window tables, no dz realignment)
     must match the exact neighbour-map conv in values AND gradients,

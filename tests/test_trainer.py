@@ -60,6 +60,7 @@ def _device_batch(batch):
     return {k: jnp.asarray(v) for k, v in batch.items() if k != "_meta"}
 
 
+@pytest.mark.slow
 def test_xmuda_train_step_runs_and_learns():
     c = tiny_cfg()
     models, _ = trainer.build_models(c, output_all=False)
@@ -85,6 +86,7 @@ def test_xmuda_train_step_runs_and_learns():
     assert float(m_last["loss_src_3d"]) < float(m1["loss_src_3d"])
 
 
+@pytest.mark.slow
 def test_pl_sam_vgi_train_step():
     c = tiny_cfg(**{
         "TRAIN.XMUDA.lambda_pl": 1.0,
@@ -109,6 +111,7 @@ def test_pl_sam_vgi_train_step():
     assert m["vgi_inserted"] >= 0
 
 
+@pytest.mark.slow
 def test_ema_train_step():
     c = tiny_cfg(**{
         "TRAIN.XMUDA.lambda_pl": 1.0,
@@ -130,6 +133,7 @@ def test_ema_train_step():
     assert not np.allclose(np.asarray(p_new), np.asarray(e_new))
 
 
+@pytest.mark.slow
 def test_checkpoint_adapter_roundtrip(tmp_path):
     from mopa_tpu.common.checkpoint import CheckpointerV2
 
@@ -155,6 +159,7 @@ def test_checkpoint_adapter_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(w0), np.asarray(w1))
 
 
+@pytest.mark.slow
 def test_train_step_sharded_8dev():
     mesh = jax.make_mesh((8,), ("data",))
     c = tiny_cfg()
@@ -171,6 +176,7 @@ def test_train_step_sharded_8dev():
     assert int(state1.step) == 1
 
 
+@pytest.mark.slow
 def test_depth_pred_auxiliary_task():
     """DEPTH_PRED wires the depth head + RMSE hook end-to-end (the reference
     defines the hook at train_xmuda_mopa.py:405-410 but ships it broken —
@@ -196,6 +202,7 @@ def test_depth_pred_auxiliary_task():
     assert np.isfinite(float(metrics["depth_pred_loss"]))
 
 
+@pytest.mark.slow
 def test_host_plans_match_device_plans():
     """The native loader's host-built plans must reproduce the device plan
     build exactly: same batch, same step, identical losses/metrics."""

@@ -1,6 +1,8 @@
 """Eval-time range-image KNN post-processing (VAL.use_knn/knn_prob wiring,
 reference ``mopa/data/utils/validate.py:46-50,98-109``)."""
 
+import pytest
+
 import logging
 
 import jax.numpy as jnp
@@ -58,6 +60,7 @@ def _run_validate(c):
     return validate(c, state, models, val_loader, MetricLogger(), logger)
 
 
+@pytest.mark.slow
 def test_validate_use_knn_changes_3d_predictions():
     c = tiny_cfg()
     c.VAL.BATCH_SIZE = 2

@@ -179,6 +179,7 @@ def test_hash_lookup_matches_merge_lookup():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_batched_plan_matches_monolithic_unet_outputs():
     """Per-sample batched plan building + concat_plans produce the same
     per-point SparseUNet outputs as the monolithic plan (slot ids permute,
