@@ -13,7 +13,25 @@ _DEFAULT = osp.join(osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
                     ".jax_cache")
 
 
+def honor_platform_env():
+    """Make ``JAX_PLATFORMS=cpu`` effective for CLI tools.
+
+    The axon sitecustomize force-sets ``jax_platforms="axon,cpu"`` at
+    interpreter start, silently overriding the env var — a tool launched with
+    ``JAX_PLATFORMS=cpu`` would grab the TPU tunnel anyway (and contend with
+    whatever holds the chip). Re-apply the env var through jax.config, the
+    same way tests/conftest.py does.
+    """
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def enable_compile_cache(path: str = None):
+    honor_platform_env()
+
     import jax
 
     # CPU executables are AOT-compiled on the remote service with different
