@@ -162,6 +162,29 @@ def main():
         "provenance": ("ESTIMATE of the reference single-GPU rate; the "
                        "reference publishes no throughput (SURVEY §6)"),
     }
+
+    # capacity honesty: the round-2 headline was invalidated by silent voxel
+    # overflow (BASELINE.md round 3) — record the worst per-sample per-level
+    # occupancy of THIS measured batch so the number is self-auditing.
+    # ``_hp_true_nums`` is the builder-independent TRUE unique count per
+    # level (collate._true_level_nums); the builder's own ``hp_nums`` is
+    # clamped at capacity and can never reveal overflow.
+    caps = trainer_mod._capacities(c, c.TPU.POINT_BUDGET)
+    occ_lvl = None
+    for h in (src_host, trg_host):
+        for key in ("_hp_true_nums", "_hp_ori_true_nums"):
+            nums = h.get(key)
+            if nums is None:
+                continue
+            nums = np.asarray(nums, np.float64)  # (S, L)
+            o = np.max(nums / np.asarray(caps[:nums.shape[1]], np.float64),
+                       axis=0)
+            occ_lvl = o if occ_lvl is None else np.maximum(occ_lvl, o)
+    if occ_lvl is not None:
+        RESULT["voxel_occupancy_max"] = round(float(np.max(occ_lvl)), 4)
+        RESULT["voxel_occupancy_per_level"] = [round(float(x), 3)
+                                               for x in occ_lvl]
+        RESULT["voxel_overflow"] = bool(np.max(occ_lvl) > 1.0)
     emit()
 
     RESULT["stage"] = "create_state"
@@ -211,8 +234,12 @@ def main():
     # batches incl. the teacher's unaugmented inputs)
     if not FAST:
         with stage("value_ema_phase"):
+            # reuse the stage-1 executable: only the (small) teacher program
+            # compiles here (the round-3 EMA monolith OOM-killed the remote
+            # compile service)
             step_ema = trainer_mod.make_train_step(c, models, with_pl=True,
-                                                   with_ema=True)
+                                                   with_ema=True,
+                                                   reuse_step=step)
             ema_scans_per_sec, state = measure(step_ema, state, src_full,
                                                trg_full)
             RESULT["value_ema_phase"] = round(ema_scans_per_sec, 3)

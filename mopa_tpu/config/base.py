@@ -118,6 +118,12 @@ _C.TPU = CN()
 _C.TPU.POINT_BUDGET = 0
 # Static per-level active-voxel budgets for the sparse UNet. 0 = auto.
 _C.TPU.VOXEL_BUDGET = 0
+# Per-level voxel capacities as fractions of POINT_BUDGET; () = the built-in
+# LiDAR-measured schedule (models/scn_unet.py::CAP_FACTORS). Sizing rule:
+# capacities must hold the TRUE per-level unique-voxel counts (the bench's
+# voxel_occupancy_max audits this) — overflow does not fail, but dropped
+# voxels amputate a lexicographic (spatially biased) suffix of the scene.
+_C.TPU.CAP_FACTORS = ()
 # Compute dtype for the conv backbones ("bfloat16" or "float32").
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Data-parallel mesh axis size. 0 = use all local devices.

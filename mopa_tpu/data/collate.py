@@ -177,6 +177,38 @@ def _sort_sample_points(s: Dict) -> Dict:
     return s
 
 
+def _true_level_nums(coords_s, valid_s, num_levels: int):
+    """TRUE per-level unique-voxel counts of one sample, independent of the
+    plan builder's capacity clamps (the builder's ``nums`` saturates at the
+    capacity, and the clamp cascades into coarser levels). Points arrive
+    voxel-key-sorted (``_sort_sample_points``), and ``coords >> l`` is a
+    monotone map, so each level's count is just adjacent-key changes — no
+    sort. Feeds the bench's self-auditing ``voxel_occupancy_max`` field
+    (round-2 postmortem: silent overflow invalidated the headline number,
+    BASELINE.md round 3)."""
+    c = np.asarray(coords_s, np.int64)[np.asarray(valid_s, bool)]
+    c = c[np.all((c >= 0) & (c < 4096), axis=1)]
+    tn = np.zeros(num_levels, np.int32)
+    key = (c[:, 0] << 24) | (c[:, 1] << 12) | c[:, 2]
+    # level-0 keys arrive sorted; coarser levels dedup the (shrinking)
+    # previous level's unique set — (x,y,z) >> 1 is NOT order-preserving
+    # under the lex sort, so each coarse level re-sorts its packed keys
+    for lvl in range(num_levels):
+        if key.size == 0:
+            break
+        if lvl > 0:
+            # halve each 12-bit field of the packed key, then dedup
+            key = ((key >> 25 << 24) | ((key >> 13 & 0x7FF) << 12)
+                   | ((key & 0xFFF) >> 1))
+            key = np.unique(key)
+        elif np.any(np.diff(key) < 0):  # defensive: unsorted input
+            key = np.unique(key)
+        else:
+            key = key[np.concatenate(([True], np.diff(key) != 0))]
+        tn[lvl] = key.size
+    return tn
+
+
 def _host_plan_batch(out: Dict, b: int, p: int, capacities, prefix: str,
                      coords_key: str, valid_key: str) -> None:
     """Build per-sample UNet voxel plans on the host (native C++) and stack
@@ -193,6 +225,10 @@ def _host_plan_batch(out: Dict, b: int, p: int, capacities, prefix: str,
         if host is None:
             return
         per.append(host)
+    # host-only audit key (leading "_" keeps it off the device wire)
+    out["_" + prefix + "true_nums"] = np.stack(
+        [_true_level_nums(coords[i], valid[i], len(capacities))
+         for i in range(b)])
     compact = {}
     if _int16_ok(p, int(max(capacities))):
         compact = {"inverse": np.int16, "counts": np.int16}

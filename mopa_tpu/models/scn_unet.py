@@ -81,7 +81,15 @@ class UNetPlan(NamedTuple):
 # then collapse; a geometric 0.5 shrink silently overflowed levels 1-3.
 # Factors carry ~15-25% headroom; overflow is still counted in
 # ``UNetPlan.num_voxels`` vs capacity.
-CAP_FACTORS = (1.0, 0.66, 0.47, 0.25, 0.10, 0.04, 0.016)
+# Sized to hold the TRUE per-level unique-voxel counts of LiDAR-geometry
+# scans at the 16,384-point budget (round-4 audit: measured max
+# [14173, 12493, 10187, 6343, 2252, 699, 240] over 8x64 scans, + ~8-10%
+# headroom). The round-3 schedule was tuned against the plan builder's
+# CLAMPED counts — the clamp cascades into coarser levels, so levels 1-5
+# still silently dropped up to 35% of active voxels (a lexicographic,
+# spatially-biased amputation). bench.py's voxel_occupancy_max audits this
+# against builder-independent true counts on every run.
+CAP_FACTORS = (0.95, 0.82, 0.67, 0.42, 0.15, 0.047, 0.017)
 
 
 def capacity_schedule(n_points: int, num_levels: int,

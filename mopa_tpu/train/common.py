@@ -102,7 +102,8 @@ def device_batch(batch, strip_ema: bool = False, strip_keys=()):
     counts, and all-ones SCN feature columns collapse to a (B, C) ones
     marker — ``decode_batch`` reconstructs everything in-graph."""
     def keep(k):
-        if k == "_meta" or k in _DERIVED_KEYS or k in strip_keys:
+        # "_"-prefixed keys are host-only (metadata, audit fields)
+        if k.startswith("_") or k in _DERIVED_KEYS or k in strip_keys:
             return False
         if strip_ema and (k in EMA_ONLY_KEYS or k.startswith(EMA_ONLY_PREFIX)):
             return False
@@ -189,13 +190,15 @@ def decode_batch(batch):
         b, c = out["ori_feats_ones"].shape
         p = out["ori_point_valid"].shape[1]
         out["ori_feats"] = jnp.ones((b * p, c), jnp.float32)
-    if "point_valid" in out:
+    if "point_valid" in out and "batch_idx" not in out:
         b, p = out["point_valid"].shape
-        bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
-        if "batch_idx" not in out:
-            out["batch_idx"] = bidx
-        if "ori_batch_idx" not in out and "ori_coords" in out:
-            out["ori_batch_idx"] = bidx
+        out["batch_idx"] = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+    # derived from the ORI side so the teacher program's EMA-only batch
+    # subset decodes standalone (no student keys present there)
+    if "ori_point_valid" in out and "ori_batch_idx" not in out \
+            and "ori_coords" in out:
+        b, p = out["ori_point_valid"].shape
+        out["ori_batch_idx"] = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
     return out
 
 
@@ -344,9 +347,12 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
             # (stripped) batches are discarded without losing sampler
             # alignment (same mechanism as crash-resume).
             in_ema = True
+            # only the TARGET stream feeds the EMA teacher (reference
+            # regenerates target pseudo-labels only, :264-335) — the source
+            # stream keeps its EMA keys stripped from the wire
             train_src = build_dataloader(cfg, "train", "source",
                                          start_iteration=iteration)
-            src_iter = device_prefetch(train_src)
+            src_iter = device_prefetch(train_src, strip_ema=True)
             if has_trg:
                 train_trg = build_dataloader(cfg, "train", "target",
                                              start_iteration=iteration)
@@ -357,9 +363,13 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
 
         if iteration >= ema_start:
             if step_ema is None:
+                # reuse the pre-EMA compiled executable when the phase flags
+                # match (the EMA wrapper only adds the small teacher program)
+                reuse = (step_pre if (with_pl and variant == "mopa")
+                         else None)
                 step_ema = trainer_mod.make_train_step(
                     cfg, models, with_pl=True, with_ema=True, mesh=mesh,
-                    with_mopa=True)
+                    with_mopa=True, reuse_step=reuse)
             state, metrics = step_ema(state, batch_src, batch_trg)
         else:
             state, metrics = step_pre(state, batch_src, batch_trg)

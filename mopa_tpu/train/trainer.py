@@ -124,7 +124,7 @@ def create_train_state(cfg, models: Models, example_batch, seed=None):
 
     example_batch = decode_batch({k: jnp.asarray(v)
                                   for k, v in example_batch.items()
-                                  if k != "_meta"})
+                                  if not k.startswith("_")})
     seed = cfg.RNG_SEED if seed is None else seed
     rng = jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
     k2d, k3d, krest = jax.random.split(rng, 3)
@@ -245,7 +245,7 @@ def _forward_3d(model, params, batch_stats, feats, plan, train,
 
 
 def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
-                    mesh=None, with_mopa: bool = True):
+                    mesh=None, with_mopa: bool = True, reuse_step=None):
     """Build the jitted per-iteration step for one training phase.
 
     Static phase flags (trace-time): ``with_pl`` — pseudo-label CE on target;
@@ -255,6 +255,20 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
     TRAIN.PC_MM, so the xmuda/baseline variants pass False even when the
     merged config carries MoPA lambdas). xm/minent/sam/vgi come from cfg
     lambdas.
+
+    The EMA phase is TWO device programs, not one monolith: a small
+    forward-only TEACHER program (EMA 2D+3D forwards on the unaugmented
+    inputs + on-device refinement -> int16 pseudo-labels) and the SAME train
+    step the pre-EMA phase runs — the teacher labels are spliced into the
+    target batch's ``pseudo_label_2d/3d`` slots between the two dispatches
+    (device-resident, nothing crosses the wire). This caps peak compile
+    memory at the pre-EMA program (the round-3 EMA monolith OOM-killed the
+    compile service) and lets both phases share one compiled executable:
+    pass the pre-EMA jitted step as ``reuse_step`` and only the teacher
+    program compiles. The EMA decay itself is a runtime function of
+    ``state.step`` (active from ``PC_MM.ema_start_iter``, matching the
+    reference's lazy teacher init at train_xmuda_mopa.py:219-226), so the
+    step program is phase-independent.
     """
     lam = cfg.TRAIN.XMUDA
     pc_mm = cfg.TRAIN.PC_MM
@@ -277,6 +291,8 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
     ema_alpha = float(pc_mm.ema_alpha_teacher)
     ema_xm_prob = float(pc_mm.ema_xm_prob)
     ema_period = max(int(pc_mm.ema_update_period), 1)
+    ema_start = int(pc_mm.ema_start_iter)
+    assert with_pl or not with_ema, "EMA teacher implies pseudo-label CE"
     is_range = "SalsaNext" in cfg.MODEL_3D.TYPE
     use_host_plans = bool(cfg.TPU.get("HOST_PLANS", True)) if "TPU" in cfg \
         else False
@@ -528,11 +544,14 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
 
         batch_src = decode_batch(batch_src)
         batch_trg = decode_batch(batch_trg)
+        # ema_rng is consumed by the separate teacher program (same split
+        # structure — the two programs draw identical streams from state.rng)
         rng, step_rng, ema_rng, vgi_rng = jax.random.split(state.rng, 4)
+        del ema_rng
 
-        if with_ema:
-            pl_2d, pl_3d = ema_teacher_labels(state, batch_trg, ema_rng)
-        elif with_pl:
+        if with_pl or with_ema:
+            # EMA phase: these slots hold the teacher program's output,
+            # spliced in by the step wrapper below (reference :264-335)
             pl_2d = batch_trg["pseudo_label_2d"]
             pl_3d = batch_trg["pseudo_label_3d"]
         else:
@@ -606,20 +625,21 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         upd_3d, opt_3d = models.tx_3d.update(g3d, state.opt_3d, state.params_3d)
         params_3d = optax.apply_updates(state.params_3d, upd_3d)
 
-        if with_ema:
-            do_update = (state.step % ema_period) == 0
-            decay = jnp.where(do_update, ema_alpha, 1.0)
-            ema_2d = jax.tree_util.tree_map(
-                lambda e, q: decay * e + (1.0 - decay) * q,
-                state.ema_params_2d, params_2d)
-            ema_3d = jax.tree_util.tree_map(
-                lambda e, q: decay * e + (1.0 - decay) * q,
-                state.ema_params_3d, params_3d)
-        else:
-            # pre-EMA phase: teacher tracks the student exactly, so the EMA
-            # phase starts from the current weights (reference creates the
-            # teacher lazily at ema_start_iter from the live model, :219-226)
-            ema_2d, ema_3d = params_2d, params_3d
+        # EMA decay is a RUNTIME function of state.step so one compiled step
+        # serves both phases: before ema_start_iter the teacher tracks the
+        # student exactly (decay 0 -> ema = params; the reference creates the
+        # teacher lazily at ema_start_iter from the live model, :219-226);
+        # from ema_start_iter it decays every ema_update_period steps.
+        ema_active = state.step >= ema_start
+        do_update = (state.step % ema_period) == 0
+        decay = jnp.where(ema_active & do_update, ema_alpha,
+                          jnp.where(ema_active, 1.0, 0.0))
+        ema_2d = jax.tree_util.tree_map(
+            lambda e, q: decay * e + (1.0 - decay) * q,
+            state.ema_params_2d, params_2d)
+        ema_3d = jax.tree_util.tree_map(
+            lambda e, q: decay * e + (1.0 - decay) * q,
+            state.ema_params_3d, params_3d)
 
         new_state = TrainState(
             params_2d=params_2d, batch_stats_2d=bs2d, opt_2d=opt_2d,
@@ -628,18 +648,59 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
             step=state.step + 1, rng=rng)
         return new_state, metrics
 
+    if reuse_step is not None:
+        step_jit = reuse_step
+    elif mesh is None:
+        step_jit = jax.jit(train_step, donate_argnums=(0,))
+    else:
+        from jax import shard_map
+
+        batch_specs = P("data")
+        step_jit = jax.jit(
+            shard_map(train_step, mesh=mesh,
+                      in_specs=(P(), batch_specs, batch_specs),
+                      out_specs=(P(), P()), check_vma=False),
+            donate_argnums=(0,))
+    if not with_ema:
+        return step_jit
+
+    # ---- EMA phase: small separate teacher program + the shared step ----
+    def teacher_step(state, batch_trg):
+        from mopa_tpu.train.common import decode_batch
+
+        dec = decode_batch(batch_trg)
+        _, _, ema_rng, _ = jax.random.split(state.rng, 4)
+        pl2, pl3 = ema_teacher_labels(state, dec, ema_rng)
+        # int16 matches the offline pseudo-label wire dtype, so the spliced
+        # batch has the pre-EMA step's exact pytree signature (labels are
+        # -100..num_classes; decode_batch widens in-graph)
+        return pl2.astype(jnp.int16), pl3.astype(jnp.int16)
+
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,))
+        teacher_jit = jax.jit(teacher_step)
+    else:
+        from jax import shard_map
 
-    from jax import shard_map
+        teacher_jit = jax.jit(
+            shard_map(teacher_step, mesh=mesh,
+                      in_specs=(P(), P("data")),
+                      out_specs=(P("data"), P("data")), check_vma=False))
 
-    batch_specs = P("data")
-    step_sharded = shard_map(
-        train_step, mesh=mesh,
-        in_specs=(P(), batch_specs, batch_specs),
-        out_specs=(P(), P()),
-        check_vma=False)
-    return jax.jit(step_sharded, donate_argnums=(0,))
+    from mopa_tpu.train.common import EMA_ONLY_KEYS, EMA_ONLY_PREFIX
+
+    def _is_ema_key(k):
+        return k in EMA_ONLY_KEYS or k.startswith(EMA_ONLY_PREFIX)
+
+    def step_with_teacher(state, batch_src, batch_trg):
+        teacher_in = {k: v for k, v in batch_trg.items() if _is_ema_key(k)}
+        pl2, pl3 = teacher_jit(state, teacher_in)
+        trg = {k: v for k, v in batch_trg.items() if not _is_ema_key(k)}
+        trg["pseudo_label_2d"] = pl2
+        trg["pseudo_label_3d"] = pl3
+        src = {k: v for k, v in batch_src.items() if not _is_ema_key(k)}
+        return step_jit(state, src, trg)
+
+    return step_with_teacher
 
 
 class CheckpointAdapter:

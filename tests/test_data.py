@@ -225,3 +225,39 @@ def test_prefetch_overlaps_and_preserves_order():
                          sampler, point_budget=128, num_workers=2))
     next(it)
     del it
+
+
+def test_true_level_nums_detects_overflow():
+    """collate._true_level_nums must report TRUE unique counts (the builder's
+    ``nums`` is clamped at capacity, and the clamp cascades into coarser
+    levels — round-2 postmortem, BASELINE.md round 3). Fast: pure numpy."""
+    from mopa_tpu.data.collate import _lexkey, _true_level_nums
+
+    rng = np.random.default_rng(3)
+    n, p = 900, 1024
+    c = rng.integers(0, 64, size=(n, 3)).astype(np.int32)
+    c = c[np.argsort(_lexkey(c), kind="stable")]
+    c = np.concatenate([c, np.zeros((p - n, 3), np.int32)])
+    valid = np.arange(p) < n
+    got = _true_level_nums(c, valid, 3)
+
+    want = []
+    for lvl in range(3):
+        cl = c[:n] >> lvl
+        want.append(len(np.unique(cl, axis=0)))
+    np.testing.assert_array_equal(got, np.asarray(want))
+    # uniform-random points barely dedup: a tight cap MUST read as overflow
+    assert got[1] > 300 and got[2] > 100
+
+
+def test_host_only_keys_stripped_from_device_batch():
+    """"_"-prefixed batch keys (audit fields, _meta) never ship to device."""
+    from mopa_tpu.train.common import device_batch
+
+    batch = {"img_indices": np.zeros((1, 8, 2), np.int32),
+             "num_points": np.array([8], np.int32),
+             "_meta": {"lidar_path": ["x"]},
+             "_hp_true_nums": np.ones((1, 3), np.int32)}
+    dev = device_batch(batch)
+    assert not any(k.startswith("_") for k in dev)
+    assert "img_indices" in dev

@@ -112,3 +112,4 @@ def test_host_plan_fixups_exercised():
             np.testing.assert_array_equal(np.asarray(ref.levels[l].down_nbr),
                                           np.asarray(dec.levels[l].down_nbr),
                                           err_msg=f"down L{l}")
+

@@ -57,7 +57,7 @@ def _loaders(c):
 
 
 def _device_batch(batch):
-    return {k: jnp.asarray(v) for k, v in batch.items() if k != "_meta"}
+    return {k: jnp.asarray(v) for k, v in batch.items() if not k.startswith("_")}
 
 
 @pytest.mark.slow

@@ -54,7 +54,7 @@ def _run_validate(c):
     models, _ = trainer.build_models(c, output_all=False)
     val_loader = build_dataloader(c, "val", "target")
     batch = next(iter(val_loader))
-    dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "_meta"}
+    dev = {k: jnp.asarray(v) for k, v in batch.items() if not k.startswith("_")}
     state = trainer.create_train_state(c, models, dev)
     logger = logging.getLogger("test_validate_knn")
     return validate(c, state, models, val_loader, MetricLogger(), logger)

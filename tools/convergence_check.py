@@ -62,6 +62,12 @@ def main():
     c.TRAIN.CLASS_WEIGHTS = [2.6, 2.6, 2.6, 2.6, 1.0,
                              2.6, 2.6, 2.6, 2.6, 2.6]
     c.TPU.POINT_BUDGET = 1024
+    # OVERFLOW-FREE capacities for the gate scans (measured true dedup curve
+    # max [1012, 984, 877, 590, 301, 154, 81] at the 1024-point budget). The
+    # default LiDAR schedule overflowed levels 1-5 by up to 2.35x here, so
+    # the deep UNet levels saw only a lexicographic PREFIX of each scene —
+    # which is what kept the 3D branch near-random in the round-3 gate.
+    c.TPU.CAP_FACTORS = (1.0, 1.0, 0.95, 0.65, 0.35, 0.2, 0.125)
     c.RNG_SEED = 7
     c.OUTPUT_DIR = ""
     c.freeze()

@@ -215,7 +215,7 @@ def main():
               flush=True)
 
     step_ema = trainer_mod.make_train_step(c, models, with_pl=True,
-                                           with_ema=True)
+                                           with_ema=True, reuse_step=step)
     run_step_full(step_ema, state, name="step: full MoPA + EMA")
 
 
