@@ -100,7 +100,11 @@ class SyntheticSCN:
                 # mIoU was still ~0.1 where 2D hit 0.99). A road "shadow"
                 # disk under the footprint keeps ground context local
                 c = int(rng.choice(box_classes))
-                sx, sy = rng.uniform(0.4, 1.5, 2)
+                # SMALL footprints keep the slab densely sampled (the cue is
+                # the LOCAL z-spread of nearby points; at 1.5 m footprints a
+                # 200-point slab is isolated dots in a 72k-cell volume and
+                # the run-length cue vanishes)
+                sx, sy = rng.uniform(0.15, 0.45, 2)
                 thick = 0.1 * (c + 1)
                 ms = max(m // 4, 16)
                 shadow = np.stack([
@@ -287,12 +291,13 @@ class SyntheticSCN:
                               rng.uniform(-1.6, -1.0)])
                 obj = (c + rng.uniform(-0.4, 0.4, (m, 3))).astype(np.float32)
                 if self.learnable:
-                    # objects obey the class-height rule too — the pc_mm
+                    # objects obey the slab-thickness rule too — the pc_mm
                     # loss must not teach a contradictory geometry->class map
-                    # (VGI re-grounds objects to the insertion road height,
-                    # so keep the shell at class height over the object MIN)
-                    obj[:, 2] = (obj[:, 2].min() + 0.6 * (lab + 1)
-                                 + rng.normal(0.0, 0.02, m)).astype(np.float32)
+                    # (VGI re-grounds objects to the insertion road height;
+                    # thickness is translation-invariant so it survives that)
+                    obj[:, 2] = (obj[:, 2].min()
+                                 + rng.uniform(0.0, 0.1 * (lab + 1), m)
+                                 ).astype(np.float32)
                 obj = np.concatenate(
                     [obj, rng.uniform(0, 1, (m, 1)).astype(np.float32)], 1)
                 obj_ls.append(obj)

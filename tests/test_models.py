@@ -107,8 +107,10 @@ def test_net3dseg_heads():
 
 
 def test_capacity_schedule():
+    from mopa_tpu.models.scn_unet import CAP_FACTORS
+
     caps = capacity_schedule(10000, 7)
-    assert caps[0] == 10000 and len(caps) == 7
+    assert caps[0] == int(10000 * CAP_FACTORS[0]) and len(caps) == 7
     # monotone non-increasing, floored at 128 (honest measured-curve schedule)
     assert all(a >= b for a, b in zip(caps, caps[1:]))
     assert all(c >= 128 for c in caps)
