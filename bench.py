@@ -172,12 +172,16 @@ def main():
     caps = trainer_mod._capacities(c, c.TPU.POINT_BUDGET)
     occ_lvl = None
     for h in (src_host, trg_host):
-        for key in ("_hp_true_nums", "_hp_ori_true_nums"):
+        for key in ("_hp_true_nums", "_hp_ori_true_nums",
+                    "_hp_cat_true_nums"):
             nums = h.get(key)
             if nums is None:
                 continue
+            # the host-VGI cat domain has its own (larger) capacity schedule
+            kcaps = (h["_hp_cat_caps"] if key == "_hp_cat_true_nums"
+                     else caps)
             nums = np.asarray(nums, np.float64)  # (S, L)
-            o = np.max(nums / np.asarray(caps[:nums.shape[1]], np.float64),
+            o = np.max(nums / np.asarray(kcaps[:nums.shape[1]], np.float64),
                        axis=0)
             occ_lvl = o if occ_lvl is None else np.maximum(occ_lvl, o)
     if occ_lvl is not None:

@@ -62,13 +62,22 @@ class DataLoader:
     def __init__(self, dataset, batch_sampler, point_budget, mask_budget=64,
                  num_workers=0, prefetch=PREFETCH, process_index=None,
                  process_count=None, sort_points=False,
-                 host_plan_capacities=None):
+                 host_plan_capacities=None, vgi_host=None):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.point_budget = point_budget
         self.mask_budget = mask_budget
         self.sort_points = sort_points
         self.host_plan_capacities = host_plan_capacities
+        self.vgi_host = vgi_host
+        if vgi_host is not None and "rng" not in vgi_host:
+            # one stream per loader; batches are collated sequentially (the
+            # threaded producer is single), so draws are deterministic given
+            # the seed — host RNG like the reference's np.random VGI draws
+            vgi_host = dict(vgi_host)
+            vgi_host["rng"] = np.random.default_rng(
+                int(vgi_host.get("seed", 0)))
+            self.vgi_host = vgi_host
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
         self.process_index = process_index
@@ -95,7 +104,8 @@ class DataLoader:
         return collate_padded(samples, self.point_budget,
                               mask_budget=self.mask_budget,
                               sort_points=self.sort_points,
-                              host_plan_capacities=self.host_plan_capacities)
+                              host_plan_capacities=self.host_plan_capacities,
+                              vgi_host=self.vgi_host)
 
     def __iter__(self):
         if self.num_workers <= 0:
@@ -216,7 +226,27 @@ def build_dataloader(cfg, mode="train", domain="source", start_iteration=0,
             _nl = int(cfg.MODEL_3D.SCN.num_planes)
         factors = tuple(cfg.TPU.get("CAP_FACTORS", ()))
         host_caps = capacity_schedule(budget, _nl, factors=factors or None)
+    # host-side VGI (insert + occlusion + aug + cat plan in the loader, the
+    # raw VGI inputs leave the wire) — target stream of MoPA train runs with
+    # host plans on; data/vgi_host.py is the numpy twin of ops/mixmatch.py
+    vgi_host = None
+    if (host_caps is not None and domain == "target"
+            and float(cfg.TRAIN.PC_MM.lambda_pc_mm) > 0
+            and bool(cfg.TPU.get("HOST_VGI", True))):
+        dkw = dataset_cfg.get(dataset_cfg.TYPE, {})
+        vgi_host = {
+            "pc_mm": cfg.TRAIN.PC_MM,
+            "aug": dict(dkw.get("augmentation", {})),
+            "scale": float(dkw.get("scale", 20)),
+            "full_scale": int(dkw.get("full_scale", 4096)),
+            "front_axis_x": ("SEMANTICKITTI" in dataset_cfg.TYPE.upper()
+                             or dataset_cfg.TYPE == "SyntheticSCN"),
+            "num_levels": len(host_caps),
+            "factors": tuple(cfg.TPU.get("CAP_FACTORS", ())) or None,
+            "seed": int(cfg.RNG_SEED) if cfg.RNG_SEED >= 0 else 0,
+        }
     return DataLoader(dataset, sampler, budget,
                       mask_budget=mask_budget,
                       num_workers=cfg.DATALOADER.NUM_WORKERS,
-                      sort_points=presort, host_plan_capacities=host_caps)
+                      sort_points=presort, host_plan_capacities=host_caps,
+                      vgi_host=vgi_host)

@@ -238,10 +238,52 @@ def _host_plan_batch(out: Dict, b: int, p: int, capacities, prefix: str,
         out[prefix + key] = stacked.astype(compact.get(key, stacked.dtype))
 
 
+def _host_vgi_batch(out: Dict, pts: np.ndarray, b: int, p: int,
+                    obj_budget: int, vgi_host: Dict) -> None:
+    """Run VGI on the host (``data/vgi_host.py``) and ship the cat-domain
+    wire: ``cat_valid/cat_label/cat_obj_mask/vgi_inserted`` + the
+    ``hp_cat_*`` voxel plan, dropping the raw VGI inputs from the wire.
+    Falls back silently (keys untouched) when the native plan builder is
+    unavailable — the trainer then runs the device VGI engine as before."""
+    from mopa_tpu.data.vgi_host import vgi_host_batch
+    from mopa_tpu.models.scn_unet import capacity_schedule
+
+    scan_label = out.get(
+        "ori_pseudo_label_3d",
+        np.full((b, p), -100, np.int32)).reshape(b, p).astype(np.int32)
+    cat = vgi_host_batch(
+        pts, out["ori_points_valid"], scan_label, out["g_mask"],
+        out["obj_pc"], out["obj_valid"], out["obj_label"],
+        out["proj_matrix"], out["img_size"], vgi_host["rng"],
+        pc_mm=vgi_host["pc_mm"], aug=vgi_host["aug"],
+        scale=vgi_host["scale"], full_scale=vgi_host["full_scale"],
+        front_axis_x=vgi_host["front_axis_x"])
+    k_max = out["obj_valid"].shape[1]
+    n_cat = p + k_max * obj_budget
+    cat_caps = capacity_schedule(n_cat, int(vgi_host["num_levels"]),
+                                 factors=vgi_host.get("factors") or None)
+    out["cat_valid"] = cat["valid"].reshape(b, n_cat)
+    out["_cat_coords"] = cat["coords"]
+    _host_plan_batch(out, b, n_cat, cat_caps, "hp_cat_",
+                     "_cat_coords", "cat_valid")
+    if "hp_cat_rankn" not in out:  # native lib missing -> device fallback
+        del out["cat_valid"], out["_cat_coords"]
+        return
+    out["cat_label"] = cat["label"].reshape(b, n_cat).astype(np.int16)
+    out["cat_obj_mask"] = cat["obj_mask"].reshape(b, n_cat)
+    out["vgi_inserted"] = cat["inserted"]
+    out["_hp_cat_caps"] = np.asarray(cat_caps, np.int32)
+    # the device step reads only the precomputed cat arrays now
+    for k in ("ori_points", "ori_points_valid", "vgi_num_points", "g_mask",
+              "obj_pc", "obj_valid", "obj_label", "proj_matrix", "img_size",
+              "ori_pseudo_label_3d"):
+        out.pop(k, None)
+
+
 def collate_padded(samples: List[Dict], point_budget: int,
                    obj_budget: int = 2048, mask_budget: int = 64,
                    sort_points: bool = False,
-                   host_plan_capacities=None) -> Dict:
+                   host_plan_capacities=None, vgi_host=None) -> Dict:
     """Collate a list of per-sample dicts (from the dataset __getitem__) into
     one padded numpy batch. ``sort_points`` pre-sorts each sample by voxel
     key so device plan builds can skip their input sort (train mode only —
@@ -384,6 +426,16 @@ def collate_padded(samples: List[Dict], point_budget: int,
             [np.asarray(s["proj_matrix"], np.float32)[:3, :4] for s in samples])
         out["img_size"] = np.stack(
             [np.asarray(s["ori_img_size"], np.int32) for s in samples])
+
+        # ----- host-side VGI (insert + occlusion + aug + cat-domain plan) --
+        # Runs here, overlapped with device compute, when the batch carries a
+        # ground mask and the native plan builder is available; on success
+        # the raw VGI inputs leave the wire and the device step consumes the
+        # precomputed cat arrays + hp_cat_* plan instead of running
+        # ops.mixmatch.vgi_insert_batch + an in-step plan build (~1/3 of the
+        # full MoPA step, round-4 ab_step.py split).
+        if vgi_host is not None and "g_mask" in out:
+            _host_vgi_batch(out, pts, b, p, obj_budget, vgi_host)
 
     if host_plan_capacities is not None and sort_points:
         _host_plan_batch(out, b, p, host_plan_capacities, "hp_",

@@ -142,7 +142,8 @@ def device_batch(batch, strip_ema: bool = False, strip_keys=()):
 _WIRE_INT_KEYS = ("coords", "img_indices", "seg_label", "pseudo_label_2d",
                   "pseudo_label_3d", "sam_mask", "ema_map", "ori_coords",
                   "ori_img_indices", "ori_pseudo_label_3d", "hp_counts",
-                  "hp_inverse", "hp_ori_counts", "hp_ori_inverse", "proj_xy")
+                  "hp_inverse", "hp_ori_counts", "hp_ori_inverse", "proj_xy",
+                  "cat_label", "hp_cat_counts", "hp_cat_inverse")
 _WIRE_FLOAT_KEYS = ("feats", "ori_feats")
 
 

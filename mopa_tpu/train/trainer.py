@@ -559,8 +559,22 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
 
         # VGI transform and the fused voxel plan are pure functions of the
         # inputs (no parameter dependence) — hoisted out of the grad fn.
-        cat = (vgi_ops.vgi_insert_batch(cfg, batch_trg, pl_3d, vgi_rng)
-               if with_vgi else None)
+        # Preferred: the loader ran VGI on the HOST (data/vgi_host.py) and
+        # shipped the cat arrays + hp_cat_* plan — the in-step insert + cat
+        # plan build (~1/3 of the full MoPA step) disappears from the device.
+        host_cat = with_vgi and "hp_cat_rankn" in batch_trg
+        if host_cat:
+            cat_valid = batch_trg["cat_valid"].reshape(-1)
+            cat = {
+                "valid": cat_valid,
+                "label": batch_trg["cat_label"].reshape(-1).astype(jnp.int32),
+                "obj_mask": batch_trg["cat_obj_mask"].reshape(-1),
+                "feats": jnp.ones((cat_valid.shape[0], 1), jnp.float32),
+                "inserted": batch_trg["vgi_inserted"],
+            }
+        else:
+            cat = (vgi_ops.vgi_insert_batch(cfg, batch_trg, pl_3d, vgi_rng)
+                   if with_vgi else None)
         if is_range:
             plan = None
         else:
@@ -593,11 +607,17 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
                                                presorted=_presorted(cfg))
             if cat is not None:
                 n_cat = cat["valid"].shape[0] // b
-                cat_plan = build_unet_plan_batched(
-                    cat["coords"].reshape(b, n_cat, 3),
-                    cat["valid"].reshape(b, n_cat), _num_levels(cfg),
-                    capacities=_capacities(cfg, n_cat),
-                    sample_domains=np.full(b, 2, np.int32))
+                if host_cat:
+                    cat_plan = plan_from_host_arrays(
+                        {k: batch_trg["hp_cat_" + k] for k in HOST_PLAN_KEYS},
+                        _capacities(cfg, n_cat), _num_levels(cfg),
+                        sample_domains=np.full(b, 2, np.int32))
+                else:
+                    cat_plan = build_unet_plan_batched(
+                        cat["coords"].reshape(b, n_cat, 3),
+                        cat["valid"].reshape(b, n_cat), _num_levels(cfg),
+                        capacities=_capacities(cfg, n_cat),
+                        sample_domains=np.full(b, 2, np.int32))
                 plan = concat_plans([plan, cat_plan])
 
         grad_fn = jax.value_and_grad(loss_and_metrics, argnums=(0, 1),

@@ -211,13 +211,17 @@ def test_wire_elision_roundtrip():
     c.TRAIN.BATCH_SIZE = 2
     c.TPU.POINT_BUDGET = 512
     raw = next(iter(build_dataloader(c, "train", "target")))
+    # host-side VGI (data/vgi_host.py) removes the raw VGI inputs from the
+    # batch entirely (ori_points/ori_points_valid/obj_pc/...); the elision
+    # roundtrip below covers whichever derivable keys remain
+    keys = [k for k in ("point_valid", "ori_point_valid", "ori_points_valid",
+                        "feats", "ori_feats") if k in raw]
+    assert "point_valid" in keys and "feats" in keys
     dev = device_batch(raw)
-    for k in ("point_valid", "ori_point_valid", "ori_points_valid", "feats",
-              "ori_feats", "batch_idx"):
+    for k in keys + ["batch_idx"]:
         assert k not in dev, k
     dec = decode_batch(dev)
-    for k in ("point_valid", "ori_point_valid", "ori_points_valid", "feats",
-              "ori_feats"):
+    for k in keys:
         np.testing.assert_array_equal(
             np.asarray(raw[k], np.float32), np.asarray(dec[k], np.float32),
             err_msg=k)
