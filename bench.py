@@ -156,6 +156,7 @@ def main():
     RESULT["wire_mb_per_step_pre_ema"] = round(wire_pre / 1e6, 1)
     RESULT["wire_mb_per_step_ema_phase"] = round(wire_ema / 1e6, 1)
     RESULT["host_plans"] = bool(c.TPU.get("HOST_PLANS", True))
+    RESULT["encoder"] = trainer_mod.encoder_provenance(c)
     RESULT["baseline"] = {
         "value": REF_GPU_SCANS_PER_SEC,
         "unit": "scans/s",

@@ -118,6 +118,41 @@ def build_models(cfg, output_all=None):
     return Models(model_2d, model_3d, tx_2d, tx_3d), (metric_2d, metric_3d)
 
 
+def resolve_resnet34_weights(cfg) -> str:
+    """Path of the pretrained resnet34 weights a run would load, or ''.
+
+    Resolution order: ``TPU.RESNET34_WEIGHTS`` then ``MOPA_RESNET34_WEIGHTS``
+    env var; either a converted ``.npz`` (tools/convert_resnet34.py) or a raw
+    torchvision ``.pth``. Returns '' when nothing usable exists (encoder
+    trains from scratch)."""
+    import os as _os
+
+    weights = ""
+    if "TPU" in cfg and cfg.TPU.get("RESNET34_WEIGHTS", ""):
+        weights = cfg.TPU.RESNET34_WEIGHTS
+    weights = weights or _os.environ.get("MOPA_RESNET34_WEIGHTS", "")
+    return weights if weights and _os.path.isfile(weights) else ""
+
+
+def encoder_provenance(cfg) -> dict:
+    """Self-report of the 2D-encoder initialisation for bench/dryrun JSON
+    artifacts: every published reference mIoU assumes ImageNet pretraining
+    (``/root/reference/mopa/models/resnet34_unet.py:92-94``), so artifacts
+    must say which init they actually ran with."""
+    requested = bool(cfg.MODEL_2D.get(cfg.MODEL_2D.TYPE, {}).get(
+        "pretrained", True))
+    weights = resolve_resnet34_weights(cfg) if requested else ""
+    if not requested:
+        kind = "scratch(pretrained=False)"
+    elif not weights:
+        kind = "scratch(no weights file)"
+    elif weights.endswith(".npz"):
+        kind = "imagenet(npz)"
+    else:
+        kind = "imagenet(torch_pth)"
+    return {"encoder_init": kind, "weights_file": weights or None}
+
+
 def create_train_state(cfg, models: Models, example_batch, seed=None):
     """Initialise parameters/optimizers from one example batch (host side)."""
     from mopa_tpu.train.common import decode_batch
@@ -167,11 +202,8 @@ def create_train_state(cfg, models: Models, example_batch, seed=None):
     if getattr(models.model_2d, "pretrained", False):
         import os as _os
 
-        weights = ""
-        if "TPU" in cfg and cfg.TPU.get("RESNET34_WEIGHTS", ""):
-            weights = cfg.TPU.RESNET34_WEIGHTS
-        weights = weights or _os.environ.get("MOPA_RESNET34_WEIGHTS", "")
-        if weights and _os.path.isfile(weights):
+        weights = resolve_resnet34_weights(cfg)
+        if weights:
             from mopa_tpu.models.torch_compat import (load_resnet34_encoder,
                                                       unflatten_into)
 
