@@ -122,6 +122,15 @@ def preprocess(split_name, root_dir, out_dir):
     with open(save_path, "wb") as f:
         pickle.dump(pkl_data, f)
     print("Wrote preprocessed data to " + save_path)
+    # real-scan capacity audit (A2D2 runtime voxel scale 20, a2d2_dataloader
+    # kwargs): project runtime table occupancy; fail loudly on overflow
+    from mopa_tpu.data.capacity_audit import SplitAuditor
+
+    auditor = SplitAuditor(split_name, scale=20, full_scale=4096)
+    for rec in pkl_data[::25]:
+        auditor.add(np.asarray(rec["points"], np.float32)[:, :3])
+    auditor.save(osp.join(save_dir,
+                          "capacity_audit_{}.json".format(split_name)))
 
 
 def main():

@@ -123,11 +123,22 @@ def preprocess(nusc, split_names, root_dir, out_dir, keyword=None,
     save_dir = osp.join(out_dir, "preprocess")
     os.makedirs(save_dir, exist_ok=True)
     for split_name in split_names:
-        save_path = osp.join(save_dir, "{}{}.pkl".format(
-            split_name, "_" + subset_name if subset_name else ""))
+        full_name = "{}{}".format(
+            split_name, "_" + subset_name if subset_name else "")
+        save_path = osp.join(save_dir, full_name + ".pkl")
         with open(save_path, "wb") as f:
             pickle.dump(pkl_dict[split_name], f)
         print("Wrote preprocessed data to " + save_path)
+        # real-scan capacity audit: nuScenes runtime voxelizes the CAM_FRONT
+        # points at scale 20 (nuscenes_dataloader kwargs) — project the
+        # runtime table occupancy and fail loudly on overflow
+        from mopa_tpu.data.capacity_audit import SplitAuditor
+
+        auditor = SplitAuditor(full_name, scale=20, full_scale=4096)
+        for rec in pkl_dict[split_name][::25]:
+            auditor.add(np.asarray(rec["points"], np.float32)[:, :3])
+        auditor.save(osp.join(save_dir,
+                              "capacity_audit_{}.json".format(full_name)))
 
 
 def get_nuscenes_ground(root_dir, pickle_file, save_dir):

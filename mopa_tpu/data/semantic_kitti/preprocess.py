@@ -47,7 +47,7 @@ def _frames(root_dir, scenes):
             }
 
 
-def preprocess(split_name, root_dir, out_dir):
+def preprocess(split_name, root_dir, out_dir, audit_stride=25):
     scenes = getattr(split_defs, split_name)
     pkl_data = []
     for data_dict in _frames(root_dir, scenes):
@@ -57,6 +57,31 @@ def preprocess(split_name, root_dir, out_dir):
     with open(save_path, "wb") as f:
         pickle.dump(pkl_data, f)
     print("Wrote preprocessed data to " + save_path)
+    if audit_stride:
+        audit_split(split_name, pkl_data, out_dir, audit_stride)
+
+
+def audit_split(split_name, pkl_data, out_dir, stride):
+    """Project runtime voxel-table occupancy on REAL scans (every
+    ``stride``-th frame, front-camera frustum like the runtime loader) and
+    write ``capacity_audit_<split>.json`` — fails loudly on projected
+    overflow (see ``mopa_tpu.data.capacity_audit``)."""
+    from mopa_tpu.data.capacity_audit import SplitAuditor
+
+    auditor = SplitAuditor(split_name, scale=20, full_scale=4096)
+    for data_dict in pkl_data[::max(int(stride), 1)]:
+        points = np.fromfile(data_dict["lidar_path"],
+                             dtype=np.float32).reshape(-1, 4)[:, :3]
+        keep_idx = points[:, 0] > 0  # front of car (runtime loader policy)
+        pts_h = np.concatenate(
+            [points[keep_idx], np.ones([int(keep_idx.sum()), 1], np.float32)],
+            axis=1)
+        img_points = (data_dict["proj_matrix"] @ pts_h.T).T
+        img_points = img_points[:, :2] / img_points[:, 2:3]
+        keep_img = select_points_in_frustum(img_points, 0, 0, 1226, 370)
+        auditor.add(points[keep_idx][keep_img])
+    auditor.save(osp.join(out_dir,
+                          "capacity_audit_{}.json".format(split_name)))
 
 
 def get_kitti_ground(split_name, root_dir, g_dir_name="g_indices"):
@@ -84,11 +109,14 @@ def main():
     parser.add_argument("--splits", nargs="+", default=["train", "val", "test"])
     parser.add_argument("--ground", action="store_true",
                         help="also extract Patchwork-style ground indices")
+    parser.add_argument("--audit-stride", type=int, default=25,
+                        help="capacity-audit every Nth scan (0 disables)")
     args = parser.parse_args()
     out_dir = args.out_dir or osp.join(args.root_dir, "preprocess")
     for split_name in args.splits:
         print("Preprocessing split " + split_name)
-        preprocess(split_name, args.root_dir, out_dir)
+        preprocess(split_name, args.root_dir, out_dir,
+                   audit_stride=args.audit_stride)
         if args.ground:
             get_kitti_ground(split_name, args.root_dir)
 

@@ -208,6 +208,19 @@ def run_parity(cfg, sd2d, sd3d, golden=None, save_golden=None):
         "miou_xm": miou_from_logits(
             _softmax(logit_2d) + _softmax(logit_3d), labels, ncls),
     }
+    # capacity audit of the evaluated scan: the CAP_FACTORS schedule was
+    # derived from synthetic dedup curves; check it against THIS (real or
+    # golden) scan's true curve (mopa_tpu/data/capacity_audit.py)
+    from mopa_tpu.data.capacity_audit import coords_occupancy
+    from mopa_tpu.train.trainer import _num_levels
+
+    occ = coords_occupancy(
+        np.asarray(batch["coords"]).reshape(-1, 3)[:n],
+        point_budget=int(cfg.TPU.POINT_BUDGET),
+        cap_factors=tuple(cfg.TPU.CAP_FACTORS) if cfg.TPU.CAP_FACTORS
+        else None, num_levels=_num_levels(cfg))
+    report["voxel_occupancy_per_level"] = [round(float(x), 4) for x in occ]
+    report["voxel_overflow"] = bool(occ.max() > 1.0)
     for name, ours in (("2d", logit_2d), ("3d", logit_3d)):
         key = "ref_logit_" + name
         if golden is not None and key in golden:
