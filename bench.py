@@ -222,8 +222,15 @@ def main():
     # ---- stage 2: e2e streaming (same compiled step; host pipeline inside
     # the measurement, watchdogged — a hung prefetch skips the stage)
     with stage("value_e2e"):
-        src_it = device_prefetch(src_loader, strip_ema=True)
-        trg_it = device_prefetch(trg_loader, strip_ema=True)
+        # stream through the loaders the pre-EMA training phase actually
+        # runs: want_ema=False skips producing the teacher inputs + ori plan
+        # set on the host (train/common.py builds its loaders the same way)
+        src_it = device_prefetch(
+            build_dataloader(c, "train", "source", want_ema=False),
+            strip_ema=True)
+        trg_it = device_prefetch(
+            build_dataloader(c, "train", "target", want_ema=False),
+            strip_ema=True)
         state, metrics = step(state, next(src_it), next(trg_it))
         _ = float(np.asarray(metrics["total_loss"]))
         t0 = time.time()

@@ -62,7 +62,8 @@ class DataLoader:
     def __init__(self, dataset, batch_sampler, point_budget, mask_budget=64,
                  num_workers=0, prefetch=PREFETCH, process_index=None,
                  process_count=None, sort_points=False,
-                 host_plan_capacities=None, vgi_host=None):
+                 host_plan_capacities=None, vgi_host=None,
+                 audit_batches=2):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.point_budget = point_budget
@@ -70,6 +71,11 @@ class DataLoader:
         self.sort_points = sort_points
         self.host_plan_capacities = host_plan_capacities
         self.vgi_host = vgi_host
+        # capacity audit (collate ``_hp_*true_nums``) runs on the first
+        # ``audit_batches`` batches of every epoch-iterator: enough for the
+        # bench/dryrun self-audit and a per-run spot check, without paying
+        # ~4 ms/sample/plan-set of 1-core host CPU in the steady state
+        self.audit_batches = audit_batches
         if vgi_host is not None and "rng" not in vgi_host:
             # one stream per loader; batches are collated sequentially (the
             # threaded producer is single), so draws are deterministic given
@@ -96,7 +102,7 @@ class DataLoader:
         indices = np.asarray(indices)
         return indices[pi::pc] if pc > 1 else indices
 
-    def _load_batch(self, indices, pool=None):
+    def _load_batch(self, indices, pool=None, audit=True):
         if pool is not None:
             samples = list(pool.map(self.dataset.__getitem__, indices))
         else:
@@ -105,12 +111,13 @@ class DataLoader:
                               mask_budget=self.mask_budget,
                               sort_points=self.sort_points,
                               host_plan_capacities=self.host_plan_capacities,
-                              vgi_host=self.vgi_host)
+                              vgi_host=self.vgi_host, audit=audit)
 
     def __iter__(self):
         if self.num_workers <= 0:
-            for indices in self.batch_sampler:
-                yield self._load_batch(self._host_slice(indices))
+            for bi, indices in enumerate(self.batch_sampler):
+                yield self._load_batch(self._host_slice(indices),
+                                       audit=bi < self.audit_batches)
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -119,8 +126,9 @@ class DataLoader:
 
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for indices in self.batch_sampler:
-                    batch = self._load_batch(self._host_slice(indices), pool)
+                for bi, indices in enumerate(self.batch_sampler):
+                    batch = self._load_batch(self._host_slice(indices), pool,
+                                             audit=bi < self.audit_batches)
                     while not stop.is_set():
                         try:
                             q.put(batch, timeout=0.2)
@@ -152,7 +160,15 @@ class DataLoader:
 
 
 def build_dataloader(cfg, mode="train", domain="source", start_iteration=0,
-                     halve_batch_size=False):
+                     halve_batch_size=False, want_ema=None):
+    """``want_ema=False`` builds a loader WITHOUT the EMA-teacher inputs
+    (``ori_img`` / ``ori_coords`` / ``ema_map`` / the ``hp_ori_*`` plan set):
+    the pre-EMA training phases never read them, yet producing them costs
+    the 1-core host ~18 ms/sample (native ori plan build + dataset ori
+    assembly) and +10.6 MB/step of wire. The train loop passes
+    ``want_ema=iteration >= ema_start_iter`` and rebuilds the target loader
+    at the phase switch (same mechanism as crash-resume). ``None`` keeps the
+    config's behavior (eval loaders, bench's EMA stage)."""
     assert mode in ("train", "val", "test")
     dataset_cfg = cfg.get("DATASET_" + domain.upper())
     split = dataset_cfg[mode.upper()]
@@ -172,6 +188,11 @@ def build_dataloader(cfg, mode="train", domain="source", start_iteration=0,
     aug = dict(dataset_kwargs.pop("augmentation", {}))
     if is_train:
         dataset_kwargs.update(aug)
+    if want_ema is False:
+        # pre-EMA phases: no teacher inputs (``ema_input`` on the real
+        # datasets, ``with_ema`` on the synthetic one)
+        dataset_kwargs.pop("ema_input", None)
+        dataset_kwargs.pop("with_ema", None)
 
     if dataset_cfg.TYPE != "SyntheticSCN":
         # MoPA inputs only exist for target-domain training

@@ -210,11 +210,16 @@ def _true_level_nums(coords_s, valid_s, num_levels: int):
 
 
 def _host_plan_batch(out: Dict, b: int, p: int, capacities, prefix: str,
-                     coords_key: str, valid_key: str) -> None:
+                     coords_key: str, valid_key: str,
+                     audit: bool = True) -> None:
     """Build per-sample UNet voxel plans on the host (native C++) and stack
     the compact-dtype arrays into the batch under ``prefix``. Silently a
     no-op when the native library is unavailable — the trainer then falls
-    back to device-side plan builds."""
+    back to device-side plan builds. ``audit=False`` skips the
+    builder-independent true-count audit (a pure diagnostic costing
+    ~4 ms/sample/plan-set of the 1-core host's steady-state budget —
+    DataLoader audits the first batches of each run and the bench/preprocess
+    hooks audit explicitly)."""
     from mopa_tpu.data import native_loader
 
     coords = out[coords_key].reshape(b, p, 3)
@@ -225,10 +230,11 @@ def _host_plan_batch(out: Dict, b: int, p: int, capacities, prefix: str,
         if host is None:
             return
         per.append(host)
-    # host-only audit key (leading "_" keeps it off the device wire)
-    out["_" + prefix + "true_nums"] = np.stack(
-        [_true_level_nums(coords[i], valid[i], len(capacities))
-         for i in range(b)])
+    if audit:
+        # host-only audit key (leading "_" keeps it off the device wire)
+        out["_" + prefix + "true_nums"] = np.stack(
+            [_true_level_nums(coords[i], valid[i], len(capacities))
+             for i in range(b)])
     compact = {}
     if _int16_ok(p, int(max(capacities))):
         compact = {"inverse": np.int16, "counts": np.int16}
@@ -239,7 +245,8 @@ def _host_plan_batch(out: Dict, b: int, p: int, capacities, prefix: str,
 
 
 def _host_vgi_batch(out: Dict, pts: np.ndarray, b: int, p: int,
-                    obj_budget: int, vgi_host: Dict) -> None:
+                    obj_budget: int, vgi_host: Dict,
+                    audit: bool = True) -> None:
     """Run VGI on the host (``data/vgi_host.py``) and ship the cat-domain
     wire: ``cat_valid/cat_label/cat_obj_mask/vgi_inserted`` + the
     ``hp_cat_*`` voxel plan, dropping the raw VGI inputs from the wire.
@@ -265,7 +272,7 @@ def _host_vgi_batch(out: Dict, pts: np.ndarray, b: int, p: int,
     out["cat_valid"] = cat["valid"].reshape(b, n_cat)
     out["_cat_coords"] = cat["coords"]
     _host_plan_batch(out, b, n_cat, cat_caps, "hp_cat_",
-                     "_cat_coords", "cat_valid")
+                     "_cat_coords", "cat_valid", audit=audit)
     if "hp_cat_rankn" not in out:  # native lib missing -> device fallback
         del out["cat_valid"], out["_cat_coords"]
         return
@@ -283,14 +290,17 @@ def _host_vgi_batch(out: Dict, pts: np.ndarray, b: int, p: int,
 def collate_padded(samples: List[Dict], point_budget: int,
                    obj_budget: int = 2048, mask_budget: int = 64,
                    sort_points: bool = False,
-                   host_plan_capacities=None, vgi_host=None) -> Dict:
+                   host_plan_capacities=None, vgi_host=None,
+                   audit: bool = True) -> Dict:
     """Collate a list of per-sample dicts (from the dataset __getitem__) into
     one padded numpy batch. ``sort_points`` pre-sorts each sample by voxel
     key so device plan builds can skip their input sort (train mode only —
     eval keeps dataset order for the pseudo-label writer).
     ``host_plan_capacities`` additionally builds the full per-sample UNet
     voxel plans on the host (native C++, overlapped with device compute)
-    and ships them with the batch (``hp_*`` / ``hp_ori_*`` keys)."""
+    and ships them with the batch (``hp_*`` / ``hp_ori_*`` keys).
+    ``audit=False`` drops the per-sample capacity audit (``_hp_*true_nums``)
+    from the batch — see ``_host_plan_batch``."""
     samples = [_fair_subsample(s, point_budget) for s in samples]
     if sort_points:
         samples = [_sort_sample_points(s) for s in samples]
@@ -435,14 +445,14 @@ def collate_padded(samples: List[Dict], point_budget: int,
         # ops.mixmatch.vgi_insert_batch + an in-step plan build (~1/3 of the
         # full MoPA step, round-4 ab_step.py split).
         if vgi_host is not None and "g_mask" in out:
-            _host_vgi_batch(out, pts, b, p, obj_budget, vgi_host)
+            _host_vgi_batch(out, pts, b, p, obj_budget, vgi_host, audit=audit)
 
     if host_plan_capacities is not None and sort_points:
         _host_plan_batch(out, b, p, host_plan_capacities, "hp_",
-                         "coords", "point_valid")
+                         "coords", "point_valid", audit=audit)
         if "ori_coords" in out:
             _host_plan_batch(out, b, p, host_plan_capacities, "hp_ori_",
-                             "ori_coords", "ori_point_valid")
+                             "ori_coords", "ori_point_valid", audit=audit)
 
     # host-side metadata (not shipped to device)
     meta = {}

@@ -37,18 +37,39 @@ from mopa_tpu.data.utils.augmentation_3d import range_projection
 Z_BUDGET = 32  # must match ops/mixmatch.py
 
 
-def _sat3(occ):
-    sat = np.cumsum(np.cumsum(np.cumsum(occ, 0), 1), 2)
-    return np.pad(sat, ((1, 0), (1, 0), (1, 0)))
+def _zprefix(occ):
+    """(gx, gy, Z) occupancy -> (gx, gy, Z+1) prefix sums along z."""
+    zp = np.zeros(occ.shape[:2] + (occ.shape[2] + 1,), np.int32)
+    np.cumsum(occ, axis=2, out=zp[:, :, 1:])
+    return zp
 
 
-def _box_sum(sat, s, ext):
-    e = s + ext
-    x0, y0, z0 = s[..., 0], s[..., 1], s[..., 2]
-    x1, y1, z1 = e[..., 0], e[..., 1], e[..., 2]
-    return (sat[x1, y1, z1] - sat[x0, y1, z1] - sat[x1, y0, z1]
-            - sat[x1, y1, z0] + sat[x0, y0, z1] + sat[x0, y1, z0]
-            + sat[x1, y0, z0] - sat[x0, y0, z0])
+def _free_grid(zp, ext_box, gx_dim, gy_dim, z_budget):
+    """Cells (x, y) where the ext_box-sized box anchored at (x, y, z0) is
+    empty for z0 = 0 OR 1 — the anchor-placement free map.
+
+    Arithmetic twin of the original per-cell ``_box_sum`` sweep over the 3D
+    summed-area table, restructured for the 1-core host: one z-prefix diff
+    selects the z-slab, a 2D summed-area table over that slab turns every
+    box query into pure constant-offset SLICES (the fancy-indexed gather of
+    8 full-grid index arrays was the loader's hottest numpy line)."""
+    ex, ey, ez = int(ext_box[0]), int(ext_box[1]), int(ext_box[2])
+    free = np.zeros((gx_dim, gy_dim), bool)
+    if ex <= 0 or ey <= 0 or ez <= 0:
+        return free
+    nx, ny = gx_dim - ex + 1, gy_dim - ey + 1  # anchors where the box fits
+    if nx <= 0 or ny <= 0:
+        return free
+    for z0 in (0, 1):
+        if z0 + ez > z_budget:
+            continue
+        slab = zp[:, :, z0 + ez] - zp[:, :, z0]          # (gx, gy)
+        sat2 = np.zeros((gx_dim + 1, gy_dim + 1), np.int32)
+        np.cumsum(np.cumsum(slab, 0), 1, out=sat2[1:, 1:])
+        box = (sat2[ex:ex + nx, ey:ey + ny] - sat2[:nx, ey:ey + ny]
+               - sat2[ex:ex + nx, :ny] + sat2[:nx, :ny])
+        free[:nx, :ny] |= box == 0
+    return free
 
 
 def vgi_insert_sample_np(points, pvalid, g_mask, objs, ovalid, obj_labels,
@@ -99,7 +120,7 @@ def vgi_insert_sample_np(points, pvalid, g_mask, objs, ovalid, obj_labels,
            & (gidx[:, 1] >= 0) & (gidx[:, 1] < gy_dim))
     occ = np.zeros((gx_dim, gy_dim, Z_BUDGET), np.int32)
     occ[gidx[inb, 0], gidx[inb, 1], gidx[inb, 2]] = 1
-    sat = _sat3(occ)
+    zp = _zprefix(occ)
 
     xs = np.arange(gx_dim, dtype=np.int32)
     ys = np.arange(gy_dim, dtype=np.int32)
@@ -144,17 +165,7 @@ def vgi_insert_sample_np(points, pvalid, g_mask, objs, ovalid, obj_labels,
         ez = int(min(ext[2], Z_BUDGET - 2))
         ext_box = np.asarray([ext_xy, ext_xy, ez], np.int64)
 
-        free = np.zeros((gx_dim, gy_dim), bool)
-        for z0 in (0, 1):
-            s = np.stack([gxx, gyy, np.full_like(gxx, z0)],
-                         axis=-1).astype(np.int64)
-            fits = ((s[..., 0] + ext_box[0] <= gx_dim)
-                    & (s[..., 1] + ext_box[1] <= gy_dim)
-                    & (z0 + ext_box[2] <= Z_BUDGET))
-            e_cl = np.minimum(s + ext_box,
-                              np.asarray([gx_dim, gy_dim, Z_BUDGET]))
-            s_cl = np.minimum(s, e_cl)
-            free |= fits & (_box_sum(sat, s_cl, e_cl - s_cl) == 0)
+        free = _free_grid(zp, ext_box, gx_dim, gy_dim, Z_BUDGET)
 
         cx = (gxx.astype(np.float32)
               + (float(ext_box[0]) - 1) / 2 + off[0]) * vs

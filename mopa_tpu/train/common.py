@@ -255,12 +255,19 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
     logger.info("Build 2D model: {}".format(cfg.MODEL_2D.TYPE))
     logger.info("Build 3D model: {}".format(cfg.MODEL_3D.TYPE))
 
-    # data
+    # data — the SOURCE stream never feeds the EMA teacher (the reference
+    # regenerates target pseudo-labels only, train_xmuda_mopa.py:264-335),
+    # so its loader always skips the teacher inputs; the TARGET loader skips
+    # them until the EMA phase switch rebuilds it (below)
     set_random_seed(cfg.RNG_SEED)
     max_iteration = cfg.SCHEDULER.MAX_ITERATION
-    train_src = build_dataloader(cfg, "train", "source", start_iteration=0)
+    ema_start_cfg = (cfg.TRAIN.PC_MM.ema_start_iter if variant == "mopa"
+                     else max_iteration + 1)
+    train_src = build_dataloader(cfg, "train", "source", start_iteration=0,
+                                 want_ema=False)
     has_trg = variant != "baseline" and len(cfg.DATASET_TARGET.TRAIN) > 0
-    train_trg = (build_dataloader(cfg, "train", "target", start_iteration=0)
+    train_trg = (build_dataloader(cfg, "train", "target", start_iteration=0,
+                                  want_ema=0 >= ema_start_cfg)
                  if has_trg else None)
     val_period = cfg.VAL.PERIOD
     val_loader = (build_dataloader(cfg, "val", "target")
@@ -297,10 +304,12 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
 
     if start_iteration:
         train_src = build_dataloader(cfg, "train", "source",
-                                     start_iteration=start_iteration)
+                                     start_iteration=start_iteration,
+                                     want_ema=False)
         if has_trg:
-            train_trg = build_dataloader(cfg, "train", "target",
-                                         start_iteration=start_iteration)
+            train_trg = build_dataloader(
+                cfg, "train", "target", start_iteration=start_iteration,
+                want_ema=start_iteration >= ema_start_cfg)
 
     # phase-compiled steps
     with_pl = variant != "baseline" and cfg.TRAIN.XMUDA.lambda_pl > 0
@@ -350,13 +359,15 @@ def train(cfg, logger, output_dir="", run_name="", variant="mopa"):
             in_ema = True
             # only the TARGET stream feeds the EMA teacher (reference
             # regenerates target pseudo-labels only, :264-335) — the source
-            # stream keeps its EMA keys stripped from the wire
+            # stream keeps skipping the EMA inputs entirely
             train_src = build_dataloader(cfg, "train", "source",
-                                         start_iteration=iteration)
+                                         start_iteration=iteration,
+                                         want_ema=False)
             src_iter = device_prefetch(train_src, strip_ema=True)
             if has_trg:
                 train_trg = build_dataloader(cfg, "train", "target",
-                                             start_iteration=iteration)
+                                             start_iteration=iteration,
+                                             want_ema=True)
                 trg_iter = device_prefetch(train_trg,
                                            strip_keys=("seg_label",))
         batch_src = next(src_iter)

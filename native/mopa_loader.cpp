@@ -170,7 +170,10 @@ struct Level {
 void voxelize_level(const int32_t* coords, const uint8_t* valid, int n,
                     int cap, Level* out, int32_t* inverse,
                     int32_t* counts /* may be null */) {
-    std::vector<std::pair<uint64_t, int32_t>> rows;
+    // scratch reused across calls (24 plan builds per train step on the
+    // 1-core host — repeated MB-sized alloc/free churn showed up in gprof)
+    thread_local std::vector<std::pair<uint64_t, int32_t>> rows;
+    rows.clear();
     rows.reserve(n);
     for (int i = 0; i < n; ++i) {
         if (!valid[i]) continue;
@@ -272,7 +275,10 @@ int mopa_build_plan3(const int32_t* coords, const uint8_t* valid, int n,
     }
     if (sum8r + sum8d > (size_t)1 << 21) return -1;  // 21-bit fixup pos
     // unpacked nibble scratch; packed into the output buffers at the end
-    std::vector<uint8_t> rk_nib(sum8r), dn_nib(sum8d), up_nib(sumf);
+    thread_local std::vector<uint8_t> rk_nib, dn_nib, up_nib;
+    rk_nib.assign(sum8r, 0);
+    dn_nib.assign(sum8d, 0);
+    up_nib.assign(sumf, 0);
     int n_fix = 0;
     for (int i = 0; i < fix_cap; ++i) fix[i] = -1;
     auto emit = [&](std::vector<uint8_t>& dst, size_t pos_base, size_t i,
@@ -303,95 +309,97 @@ int mopa_build_plan3(const int32_t* coords, const uint8_t* valid, int n,
         }
     };
 
-    Level cur;
-    std::vector<int32_t> lvl_inverse((size_t)n);
+    thread_local Level cur;
+    thread_local std::vector<int32_t> lvl_inverse;
+    lvl_inverse.assign((size_t)n, -1);
     voxelize_level(coords, valid, n, caps[0], &cur, inverse, counts);
 
     size_t off8r = 0, off1 = 0, off8 = 0, offf = 0, offc = 0;
-    std::vector<int32_t> nbr;  // (V, 27)
+    thread_local std::vector<uint32_t> wbits;  // (cap,) 24 existence bits
 
     for (int l = 0; l < num_levels; ++l) {
         const int cap = caps[l];
         const int v = cur.num;
         nums[l] = v;
 
-        // exact 27-neighbour map via per-COLUMN two-pointer merges: the
+        // Exact neighbour resolution via per-COLUMN two-pointer merges (the
         // query stream key+delta of a sorted table is itself sorted, so each
-        // xy-column is one linear co-scan (the CPU twin of the device-side
-        // sort-merge; ~6x faster than hash lookups here). The three dz
-        // offsets of a column have CONSECUTIVE keys, so one scan to the
-        // dz=-1 key resolves all three (consecutive keys sit in consecutive
-        // table rows) — 9 passes instead of 27.
-        nbr.assign((size_t)cap * 27, -1);
+        // xy-column is one linear co-scan — the CPU twin of the device-side
+        // sort-merge; ~6x faster than hash lookups here), FUSED with the
+        // wide-column rank-delta / existence-bit emission: each column's
+        // rank and its three dz existence bits are consumed the moment the
+        // co-scan produces them — no (cap, 27) neighbour intermediate. The
+        // three dz offsets of a column have CONSECUTIVE keys, so one scan to
+        // the dz=-1 key resolves all three. Decoded sel codes match
+        // sparse_conv.wide_from_nbr exactly. The center column (dx=dy=0) is
+        // never emitted: its window start is i - e0 (the voxel itself is
+        // always its own dz=0 neighbour, so rank = slot of (x,y,z-1) when it
+        // exists — lexicographically the immediately preceding row — else i),
+        // and only its dz=-1 existence bit rides the wire (cbits; its dz=0
+        // bit is slot < nums and its dz=+1 bit is the next row's dz=-1).
+        wbits.assign((size_t)cap, 0);
+        std::memset(cbits + offc, 0, (size_t)((cap + 7) / 8));
         {
+            const uint64_t* K = cur.keys.data();
             int k = 0;
             for (int dx = -1; dx <= 1; ++dx)
-                for (int dy = -1; dy <= 1; ++dy, k += 3) {
+                for (int dy = -1; dy <= 1; ++dy, ++k) {
                     const int64_t dkey = ((int64_t)dx << 24) +
                                          ((int64_t)dy << 12) - 1;  // dz=-1
+                    const bool centre = (k == 4);
+                    const int cp = k < 4 ? k : k - 1;
+                    int32_t prev = 0;
                     int j = 0;
                     for (int i = 0; i < v; ++i) {
+                        const uint64_t key = K[i];
                         // SIGNED compare: border queries can go negative
                         // (an unsigned wrap would strand the co-scan)
-                        const int64_t q = (int64_t)cur.keys[i] + dkey;
-                        while (j < v && (int64_t)cur.keys[j] < q) ++j;
-                        const int32_t qx = cur.coords[i * 3] + dx;
-                        const int32_t qy = cur.coords[i * 3 + 1] + dy;
-                        if (qx < 0 || qx >= kShift || qy < 0 || qy >= kShift)
-                            continue;
-                        const int32_t z = cur.coords[i * 3 + 2];
-                        int jj = j;
-                        for (int t = 0; t < 3; ++t) {
+                        const int64_t q = (int64_t)key + dkey;
+                        while (j < v && (int64_t)K[j] < q) ++j;
+                        // x/y/z ride in the key's 12-bit fields — border
+                        // gates come from field compares, no coords loads
+                        const uint32_t x = (uint32_t)(key >> 24);
+                        const uint32_t y = (uint32_t)(key >> 12) & 0xFFF;
+                        const uint32_t z = (uint32_t)key & 0xFFF;
+                        bool s0 = false, s1 = false, s2 = false;
+                        int32_t r = prev;
+                        if (!((dx < 0 && x == 0) ||
+                              (dx > 0 && x == kShift - 1) ||
+                              (dy < 0 && y == 0) ||
+                              (dy > 0 && y == kShift - 1))) {
+                            // sorted unique integer keys: the q+1 candidate
+                            // is j + (hit at q), q+2 likewise — no rescans.
                             // key wraps at z borders can false match — gate
-                            // each dz by its coordinate bound
-                            while (jj < v && (int64_t)cur.keys[jj] < q + t)
-                                ++jj;
-                            if (jj < v && (int64_t)cur.keys[jj] == q + t &&
-                                z + t - 1 >= 0 && z + t - 1 < kShift)
-                                nbr[(size_t)i * 27 + k + t] = jj;
+                            // dz=-1 / dz=+1 by the z field
+                            s0 = j < v && (int64_t)K[j] == q && z != 0;
+                            int j1 = j + (int)(j < v && (int64_t)K[j] == q);
+                            s1 = j1 < v && (int64_t)K[j1] == q + 1;
+                            int j2 = j1 + (int)s1;
+                            s2 = j2 < v && (int64_t)K[j2] == q + 2 &&
+                                 z != kShift - 1;
+                            r = s0 ? j : (s1 ? j1 : (s2 ? j2 : prev));
                         }
+                        if (centre) {
+                            cbits[offc + i / 8] |= (uint8_t)s0 << (i % 8);
+                            continue;
+                        }
+                        wbits[i] |= ((uint32_t)s0 | ((uint32_t)s1 << 1) |
+                                     ((uint32_t)s2 << 2))
+                                    << (3 * cp);
+                        if (!emit(rk_nib, 0, off8r + (size_t)i * 8 + cp, r,
+                                  &prev))
+                            return -2;
                     }
                 }
+            // tail slots i in [v, cap): no neighbours, rank carries prev —
+            // every delta nibble is 0 and all bits stay 0 (rk_nib was
+            // value-initialised; wbits/cbits already cleared)
         }
-
-        // wide-column rank deltas + packed existence bits (decoded sel codes
-        // match sparse_conv.wide_from_nbr exactly). The center column c == 4
-        // is never emitted: its window start is i - e0 (the voxel itself is
-        // always its own dz=0 neighbour, so rank = slot of (x,y,z-1) when it
-        // exists — lexicographically the immediately preceding row — else i).
-        {
-            std::memset(cbits + offc, 0, (size_t)((cap + 7) / 8));
-            int32_t prev[8] = {0, 0, 0, 0, 0, 0, 0, 0};
-            for (int i = 0; i < cap; ++i) {
-                uint32_t w = 0;
-                for (int c = 0; c < 9; ++c) {
-                    int32_t s0 = -1, s1 = -1, s2 = -1;
-                    if (i < v) {
-                        s0 = nbr[(size_t)i * 27 + 3 * c];
-                        s1 = nbr[(size_t)i * 27 + 3 * c + 1];
-                        s2 = nbr[(size_t)i * 27 + 3 * c + 2];
-                    }
-                    if (c == 4) {
-                        // center: only the dz=-1 bit rides the wire; dz=0 is
-                        // the voxel itself and dz=+1 is the next row's dz=-1
-                        cbits[offc + i / 8] |= (uint8_t)(s0 >= 0) << (i % 8);
-                        continue;
-                    }
-                    const int cp = c < 4 ? c : c - 1;
-                    w |= (uint32_t)(s0 >= 0) << (3 * cp);
-                    w |= (uint32_t)(s1 >= 0) << (3 * cp + 1);
-                    w |= (uint32_t)(s2 >= 0) << (3 * cp + 2);
-                    int32_t r = prev[cp];
-                    if (i < v)
-                        r = s0 >= 0 ? s0 : (s1 >= 0 ? s1 : (s2 >= 0 ? s2 : r));
-                    if (!emit(rk_nib, 0, off8r + (size_t)i * 8 + cp, r,
-                              &prev[cp]))
-                        return -2;
-                }
-                ebits[(off1 + i) * 3 + 0] = (uint8_t)(w & 0xFF);
-                ebits[(off1 + i) * 3 + 1] = (uint8_t)((w >> 8) & 0xFF);
-                ebits[(off1 + i) * 3 + 2] = (uint8_t)((w >> 16) & 0xFF);
-            }
+        for (int i = 0; i < cap; ++i) {
+            const uint32_t w = wbits[i];
+            ebits[(off1 + i) * 3 + 0] = (uint8_t)(w & 0xFF);
+            ebits[(off1 + i) * 3 + 1] = (uint8_t)((w >> 8) & 0xFF);
+            ebits[(off1 + i) * 3 + 2] = (uint8_t)((w >> 16) & 0xFF);
         }
         off8r += (size_t)cap * 8;
         off1 += (size_t)cap;
@@ -400,8 +408,10 @@ int mopa_build_plan3(const int32_t* coords, const uint8_t* valid, int n,
         if (l + 1 < num_levels) {
             // downsample: halve kept coords, sorted-unique dedup
             const int ccap = caps[l + 1];
-            std::vector<int32_t> half((size_t)cap * 3, 0);
-            std::vector<uint8_t> hvalid((size_t)cap, 0);
+            thread_local std::vector<int32_t> half;
+            thread_local std::vector<uint8_t> hvalid;
+            half.assign((size_t)cap * 3, 0);
+            hvalid.assign((size_t)cap, 0);
             for (int i = 0; i < v; ++i) {
                 // floor-div for non-negative coords
                 half[(size_t)i * 3] = cur.coords[i * 3] >> 1;
@@ -409,13 +419,14 @@ int mopa_build_plan3(const int32_t* coords, const uint8_t* valid, int n,
                 half[(size_t)i * 3 + 2] = cur.coords[i * 3 + 2] >> 1;
                 hvalid[i] = 1;
             }
-            Level coarse;
+            thread_local Level coarse;
             lvl_inverse.assign((size_t)cap, -1);
             voxelize_level(half.data(), hvalid.data(), cap, ccap, &coarse,
                            lvl_inverse.data(), nullptr);
             const int cv = coarse.num;
             // dense (ccap, 8) child map, then delta-encode per octant column
-            std::vector<int32_t> dn((size_t)ccap * 8, -1);
+            thread_local std::vector<int32_t> dn;
+            dn.assign((size_t)ccap * 8, -1);
             // f2c / up_off
             for (int i = 0; i < cap; ++i) {
                 const int32_t c = i < v ? lvl_inverse[i] : -1;
