@@ -126,6 +126,10 @@ _C.TPU.VOXEL_BUDGET = 0
 _C.TPU.CAP_FACTORS = ()
 # Compute dtype for the conv backbones ("bfloat16" or "float32").
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
+# Fused Pallas submanifold-conv kernel (VMEM-resident gather+GEMM) for the
+# SCN backbone's 3x3x3 convs. Requires Mosaic support for in-VMEM row
+# gathers; the XLA wide path remains the fallback and the numerics oracle.
+_C.TPU.PALLAS_CONV = False
 # Data-parallel mesh axis size. 0 = use all local devices.
 _C.TPU.DATA_PARALLEL = 0
 # Per-image static SAM mask-id budget for the mask-pooled consistency loss.

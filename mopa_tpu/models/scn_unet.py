@@ -50,8 +50,21 @@ class LevelPlan(NamedTuple):
     p2a: jax.Array | None = None    # (Vp_l,) z-dense only
 
 
-def apply_submanifold(x, lv: LevelPlan, weight):
-    """Submanifold conv through whichever plan form the level carries."""
+def apply_submanifold(x, lv: LevelPlan, weight, groups=None):
+    """Submanifold conv through whichever plan form the level carries.
+
+    ``groups`` (static tuple of (n_samples, cap) table segments) routes the
+    conv through the fused Pallas kernel (TPU.PALLAS_CONV); narrow stems
+    (Cin < 8) and non-wide plans fall back to the XLA paths.
+    """
+    if (groups is not None and lv.ranks is not None and lv.p2a is None
+            and lv.sel is not None and weight.shape[1] >= 8):
+        from mopa_tpu.ops import sparse_conv_pallas as scp
+
+        assert sum(ns * cap for ns, cap in groups) == lv.valid.shape[0], \
+            "plan_groups disagree with the level table layout"
+        return scp.submanifold_conv_grouped(x, lv.ranks, lv.sel, weight,
+                                            groups)
     if lv.p2a is not None:
         return sc.submanifold_conv_zdense(x, sc.ZPlan(lv.ranks, lv.p2a),
                                           weight)
@@ -541,11 +554,18 @@ class SparseUNet(nn.Module):
 
     @nn.compact
     def __call__(self, point_feats: jax.Array, plan: UNetPlan,
-                 train: bool = False, n_domains: int = 1):
+                 train: bool = False, n_domains: int = 1, plan_groups=None):
         assert not self.residual_blocks, "shipped configs use VGG-style blocks"
         assert self.block_reps == 1, "shipped configs use block_reps=1"
         planes = [(i + 1) * self.m for i in range(self.num_planes)]
         cdt = self.compute_dtype
+
+        def groups_at(l):
+            """Static (n_samples, cap_l) segments for level l's flat table
+            (``plan_groups`` carries per-group capacity schedules)."""
+            if plan_groups is None:
+                return None
+            return tuple((ns, caps[l]) for ns, caps in plan_groups)
 
         # InputLayer mode=4: mean-pool duplicate points into level-0 voxels
         # (scatter-free segmented-scan path when the plan carries run ends)
@@ -561,9 +581,9 @@ class SparseUNet(nn.Module):
 
         # stem: SubmanifoldConvolution(in_channels -> m), no bias (ref :27)
         w_stem = self.param("stem", _conv_init, (27, self.in_channels, self.m))
-        x = apply_submanifold(x, plan.levels[0], w_stem)
+        x = apply_submanifold(x, plan.levels[0], w_stem, groups_at(0))
 
-        x = self._level(0, x, plan, planes, train, n_domains)
+        x = self._level(0, x, plan, planes, train, n_domains, groups_at)
 
         x = _BN(self.m, leakiness=0.0, act=True, name="final_bn")(
             x, plan.levels[0].valid, train, plan.levels[0].dom, n_domains)
@@ -572,13 +592,13 @@ class SparseUNet(nn.Module):
         return voxel_ops.unpool_features(x, plan.point_inverse)
 
     def _level(self, l: int, x, plan: UNetPlan, planes, train: bool,
-               n_domains: int):
+               n_domains: int, groups_at=lambda l: None):
         p = planes[l]
         lv = plan.levels[l]
         # block: BNLeakyReLU -> SubConv(p -> p)
         x = _BN(p, name=f"l{l}_bn1")(x, lv.valid, train, lv.dom, n_domains)
         w1 = self.param(f"l{l}_conv1", _conv_init, (27, p, p))
-        x = apply_submanifold(x, lv, w1)
+        x = apply_submanifold(x, lv, w1, groups_at(l))
 
         if l + 1 < len(planes):
             q = planes[l + 1]
@@ -591,7 +611,8 @@ class SparseUNet(nn.Module):
             y = sc.strided_conv(y, nxt.down_nbr, w_down, f2c=nxt.f2c,
                                 up_off=nxt.up_off, fine_valid=lv.valid)
 
-            y = self._level(l + 1, y, plan, planes, train, n_domains)
+            y = self._level(l + 1, y, plan, planes, train, n_domains,
+                            groups_at)
 
             # up: BNLeakyReLU -> Deconvolution(q -> p, k2 s2)
             y = _BN(q, name=f"l{l}_bn_up")(y, nxt.valid, train, nxt.dom,
@@ -605,5 +626,5 @@ class SparseUNet(nn.Module):
             x = _BN(2 * p, name=f"l{l}_bn2")(x, lv.valid, train, lv.dom,
                                              n_domains)
             w2 = self.param(f"l{l}_conv2", _conv_init, (27, 2 * p, p))
-            x = apply_submanifold(x, lv, w2)
+            x = apply_submanifold(x, lv, w2, groups_at(l))
         return x

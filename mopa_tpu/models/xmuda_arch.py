@@ -89,7 +89,8 @@ class Net3DSeg(nn.Module):
 
     @nn.compact
     def __call__(self, point_feats, plan: UNetPlan, train: bool = False,
-                 n_domains: int = 1, proj_in=None, proj_xy=None):
+                 n_domains: int = 1, proj_in=None, proj_xy=None,
+                 plan_groups=None):
         """
         Args:
             point_feats: (B*P, in_channels) per-point features (ones for SCN;
@@ -115,7 +116,7 @@ class Net3DSeg(nn.Module):
                 residual_blocks=self.residual_blocks,
                 full_scale=self.full_scale, compute_dtype=self.compute_dtype,
                 name="net_3d")(point_feats, plan, train=train,
-                               n_domains=n_domains)
+                               n_domains=n_domains, plan_groups=plan_groups)
         elif "SPVCNN" in self.backbone_3d:
             from mopa_tpu.models.spvcnn import SPVCNN
 

@@ -6,17 +6,20 @@ at the production fused-batch shapes that round trip (plus the windowed-
 concat source) is ~20x the conv's true input/output bytes, and the row
 gather itself runs at XLA's HBM gather rate. This kernel keeps the whole
 per-sample feature table VMEM-resident, performs the 9 window-column row
-gathers as in-VMEM ``jnp.take``s, realigns dz sub-rows with the same packed
-sel-code masks as the XLA path, and accumulates the 9 per-column GEMMs on
-the MXU — HBM traffic collapses to the (V, Cin) read + (V, Cout) write.
+gathers as in-VMEM ``tpu.dynamic_gather``s (Mosaic lowers
+``jnp.take_along_axis(tab, idx, axis=0)`` with idx.shape == tab.shape to a
+sublane gather — the only gather form Mosaic supports), realigns dz
+sub-rows with the same packed sel-code masks as the XLA path, and
+accumulates the 9 per-column GEMMs on the MXU — HBM traffic collapses to
+the (V, Cin) read + (V, Cout) write.
 
 Semantics are identical to ``sparse_conv.submanifold_conv_wide`` over the
 same :class:`sparse_conv.WidePlan` (ranks/sel in LOCAL per-sample slot
 space here; the flat global plan is localised by the wrapper). The custom
 VJP mirrors ``sparse_conv._wide_bwd``: d_feats is the same wide conv of the
 cotangent with mirrored transposed weights, and d_w reuses that aligned
-cotangent (one gather total), accumulated across grid blocks in VMEM
-scratch.
+cotangent (one gather total), accumulated across grid steps in a
+VMEM-resident output block.
 
 Reference parity: this implements scn.SubmanifoldConvolution(dim=3, k=3)
 (``/root/reference/mopa/models/scn_unet.py:25-30``) exactly like the XLA
@@ -29,96 +32,91 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# voxel block per grid step (rows of the output computed per iteration)
-BLOCK = 512
+# sublane granule: per-sample tables are padded to a multiple of this
+PAD = 512
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _conv_kernel(f_ref, r_ref, s_ref, w_ref, o_ref, *, cap, cin, cout,
-                 acc_dtype):
-    """One (sample, voxel-block) grid step of the fused forward.
+def _gather_window(tab, ranks, sel, c, capp, cw, out_dtype):
+    """Column c's dz-aligned (capp, 3*C) window rows from the VMEM table.
 
-    f_ref: (1, cap, Cin) sample feature table (VMEM-resident, reused across
-        the sample's blocks — the index map keeps it fixed over b).
-    r_ref/s_ref: (1, B, 9) local window ranks / packed dz-select codes.
-    w_ref: (27*Cin, Cout) weights, kernel_offsets layout (dx slow, dz fast).
-    o_ref: (1, B, Cout).
+    tab: (capp, C) float32 — Mosaic's ``tpu.dynamic_gather`` requires the
+    index and data bitwidths to MATCH, so bf16 tables are gathered through
+    a one-time f32 view and the aligned window is cast back to ``out_dtype``
+    for the MXU dot. The gather form wants indices shaped like the operand,
+    so the (capp,) per-row rank broadcasts across lanes; rows rc, rc+1,
+    rc+2 cover the column's z-run and the packed dz-select codes route each
+    gathered sub-row to its dz slot (codes strictly increasing; slot 0 only
+    ever comes from sub-row 0).
     """
-    tab = f_ref[0]                                   # (cap, Cin)
-    ranks = r_ref[0]                                 # (B, 9) int32
-    sel = s_ref[0]                                   # (B, 9) int32
-    b = ranks.shape[0]
-    acc = jnp.zeros((b, cout), acc_dtype)
+    rc = jnp.clip(ranks[:, c], 0, capp - 1)
+    idx0 = jnp.broadcast_to(rc[:, None], (capp, cw))
+    g0 = jnp.take_along_axis(tab, idx0, axis=0)
+    g1 = jnp.take_along_axis(tab, jnp.minimum(idx0 + 1, capp - 1), axis=0)
+    g2 = jnp.take_along_axis(tab, jnp.minimum(idx0 + 2, capp - 1), axis=0)
+    sc = sel[:, c]
+    t0 = (sc & 3)[:, None]
+    t1 = ((sc >> 2) & 3)[:, None]
+    t2 = ((sc >> 4) & 3)[:, None]
+    dt = tab.dtype
+    a0 = (t0 == 0).astype(dt) * g0
+    a1 = (t0 == 1).astype(dt) * g0 + (t1 == 1).astype(dt) * g1
+    a2 = ((t0 == 2).astype(dt) * g0 + (t1 == 2).astype(dt) * g1
+          + (t2 == 2).astype(dt) * g2)
+    return jnp.concatenate([a0, a1, a2], axis=1).astype(out_dtype)
+
+
+def _conv_kernel(f_ref, r_ref, s_ref, w_ref, o_ref, *, capp, cin, cout,
+                 acc_dtype):
+    """One sample of the fused forward (grid = (S,)).
+
+    f_ref: (1, capp, Cin) sample feature table, VMEM-resident.
+    r_ref/s_ref: (1, capp, 9) local window ranks / packed dz-select codes.
+    w_ref: (27*Cin, Cout) weights, kernel_offsets layout (dx slow, dz fast).
+    o_ref: (1, capp, Cout).
+    """
+    dt = f_ref.dtype
+    tab = f_ref[0].astype(jnp.float32)                 # gather-width match
+    ranks = r_ref[0]
+    sel = s_ref[0]
+    acc = jnp.zeros((capp, cout), acc_dtype)
     for c in range(9):
-        rc = jnp.clip(ranks[:, c], 0, cap - 1)
-        # window rows rc, rc+1, rc+2 (valid sub-rows never point past the
-        # last active row, so the clip only ever touches masked lanes)
-        g0 = jnp.take(tab, rc, axis=0)               # (B, Cin)
-        g1 = jnp.take(tab, jnp.minimum(rc + 1, cap - 1), axis=0)
-        g2 = jnp.take(tab, jnp.minimum(rc + 2, cap - 1), axis=0)
-        sc = sel[:, c]
-        t0 = (sc & 3)[:, None]
-        t1 = ((sc >> 2) & 3)[:, None]
-        t2 = ((sc >> 4) & 3)[:, None]
-        dt = tab.dtype
-        # dz slot t receives gathered sub-row j iff t_j == t (codes strictly
-        # increasing; slot 0 only ever comes from sub-row 0, etc.)
-        a0 = (t0 == 0).astype(dt) * g0
-        a1 = (t0 == 1).astype(dt) * g0 + (t1 == 1).astype(dt) * g1
-        a2 = ((t0 == 2).astype(dt) * g0 + (t1 == 2).astype(dt) * g1
-              + (t2 == 2).astype(dt) * g2)
-        xc = jnp.concatenate([a0, a1, a2], axis=1)   # (B, 3*Cin)
-        wc = w_ref[pl.ds(3 * cin * c, 3 * cin), :]   # (3*Cin, Cout)
+        xc = _gather_window(tab, ranks, sel, c, capp, cin, dt)
+        wc = w_ref[pl.ds(3 * cin * c, 3 * cin), :]     # (3*Cin, Cout)
         acc = acc + jnp.dot(xc, wc, preferred_element_type=acc_dtype)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _bwd_kernel(g_ref, r_ref, s_ref, wt_ref, f_ref, do_ref, dw_ref, *,
-                cap, cin, cout, acc_dtype):
-    """Backward grid step: d_feats block (same wide conv of the cotangent
-    with mirrored transposed weights) + d_w accumulation.
+                capp, cin, cout, acc_dtype):
+    """Backward grid step: d_feats for one sample (the same wide conv of the
+    cotangent with mirrored transposed weights) + d_w accumulation.
 
-    g_ref: (1, cap, Cout) cotangent table. wt_ref: (27*Cout, Cin) mirrored
-    transposed weights. f_ref: (1, B, Cin) forward-input rows of this block.
-    do_ref: (1, B, Cin) d_feats out. dw_ref: (9*Cin, 3*Cout) f32 accumulator,
-    column-blocked along SUBLANES (static sublane slices lower cleanly where
-    non-128-aligned lane slices would not); constant index map — it lives
-    across the whole sequential grid and flushes once at the end.
+    g_ref: (1, capp, Cout) cotangent table. wt_ref: (27*Cout, Cin) mirrored
+    transposed weights. f_ref: (1, capp, Cin) forward-input table.
+    do_ref: (1, capp, Cin) d_feats out. dw_ref: (9*Cin, 3*Cout) f32
+    accumulator, column-blocked along SUBLANES (static sublane slices lower
+    cleanly where non-128-aligned lane slices would not); constant index
+    map — it lives across the whole sequential grid and flushes at the end.
     """
-    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
-
-    @pl.when(first)
+    @pl.when(pl.program_id(0) == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    tab = g_ref[0]                                    # (cap, Cout)
+    dt = g_ref.dtype
+    tab = g_ref[0].astype(jnp.float32)                 # (capp, Cout)
     ranks = r_ref[0]
     sel = s_ref[0]
-    fb = f_ref[0]                                     # (B, Cin)
-    b = ranks.shape[0]
-    acc = jnp.zeros((b, cin), acc_dtype)
+    fb = f_ref[0]                                      # (capp, Cin)
+    acc = jnp.zeros((capp, cin), acc_dtype)
     for c in range(9):
-        rc = jnp.clip(ranks[:, c], 0, cap - 1)
-        g0 = jnp.take(tab, rc, axis=0)
-        g1 = jnp.take(tab, jnp.minimum(rc + 1, cap - 1), axis=0)
-        g2 = jnp.take(tab, jnp.minimum(rc + 2, cap - 1), axis=0)
-        sc = sel[:, c]
-        t0 = (sc & 3)[:, None]
-        t1 = ((sc >> 2) & 3)[:, None]
-        t2 = ((sc >> 4) & 3)[:, None]
-        dt = tab.dtype
-        a0 = (t0 == 0).astype(dt) * g0
-        a1 = (t0 == 1).astype(dt) * g0 + (t1 == 1).astype(dt) * g1
-        a2 = ((t0 == 2).astype(dt) * g0 + (t1 == 2).astype(dt) * g1
-              + (t2 == 2).astype(dt) * g2)
-        xc = jnp.concatenate([a0, a1, a2], axis=1)    # (B, 3*Cout) aligned g
+        xc = _gather_window(tab, ranks, sel, c, capp, cout, dt)  # aligned g
         wc = wt_ref[pl.ds(3 * cout * c, 3 * cout), :]
         acc = acc + jnp.dot(xc, wc, preferred_element_type=acc_dtype)
         # d_w column block: fb^T @ xc -> (Cin, 3*Cout), at sublane block c
@@ -128,40 +126,44 @@ def _bwd_kernel(g_ref, r_ref, s_ref, wt_ref, f_ref, do_ref, dw_ref, *,
     do_ref[0] = acc.astype(do_ref.dtype)
 
 
-def _pad_to_blocks(x, nbb, fill):
-    """(S, cap[, K]) -> (S, nbb[, K]) padded with ``fill``."""
-    pad = nbb - x.shape[1]
-    if pad == 0:
+def _pad_tables(feats, ranks, sel, cap, s, extra=()):
+    """Reshape flat per-sample arrays to (S, capp, ...) padded tables."""
+    capp = _cdiv(cap, PAD) * PAD
+    pad = capp - cap
+
+    def padrow(x, fill):
+        x = x.reshape(s, cap, -1)
+        if pad:
+            x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)], constant_values=fill)
         return x
-    widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
-    return jnp.pad(x, widths, constant_values=fill)
+
+    out = [padrow(feats, 0), padrow(ranks, 0), padrow(sel, 63)]
+    out.extend(padrow(x, 0) for x in extra)
+    return capp, out
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "s", "interpret"))
 def _fwd_call(feats, ranks, sel, w2d, *, cap, s, interpret=False):
     cin = feats.shape[-1]
     cout = w2d.shape[-1]
-    nbb = _cdiv(cap, BLOCK) * BLOCK
-    tab = feats.reshape(s, cap, cin)
-    r = _pad_to_blocks(ranks.reshape(s, cap, 9), nbb, 0)
-    se = _pad_to_blocks(sel.reshape(s, cap, 9), nbb, 63)  # all-miss codes
+    capp, (tab, r, se) = _pad_tables(feats, ranks, sel, cap, s)
     out = pl.pallas_call(
-        functools.partial(_conv_kernel, cap=cap, cin=cin, cout=cout,
+        functools.partial(_conv_kernel, capp=capp, cin=cin, cout=cout,
                           acc_dtype=jnp.float32),
-        grid=(s, nbb // BLOCK),
+        grid=(s,),
         in_specs=[
-            pl.BlockSpec((1, cap, cin), lambda i, b: (i, 0, 0),
+            pl.BlockSpec((1, capp, cin), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK, 9), lambda i, b: (i, b, 0),
+            pl.BlockSpec((1, capp, 9), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK, 9), lambda i, b: (i, b, 0),
+            pl.BlockSpec((1, capp, 9), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((27 * cin, cout), lambda i, b: (0, 0),
+            pl.BlockSpec((27 * cin, cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK, cout), lambda i, b: (i, b, 0),
+        out_specs=pl.BlockSpec((1, capp, cout), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s, nbb, cout), feats.dtype),
+        out_shape=jax.ShapeDtypeStruct((s, capp, cout), feats.dtype),
         interpret=interpret,
     )(tab, r, se, w2d)
     return out[:, :cap].reshape(s * cap, cout)
@@ -171,35 +173,32 @@ def _fwd_call(feats, ranks, sel, w2d, *, cap, s, interpret=False):
 def _bwd_call(g, ranks, sel, wt2d, feats, *, cap, s, interpret=False):
     cout = g.shape[-1]
     cin = feats.shape[-1]
-    nbb = _cdiv(cap, BLOCK) * BLOCK
-    gt = g.reshape(s, cap, cout)
-    r = _pad_to_blocks(ranks.reshape(s, cap, 9), nbb, 0)
-    se = _pad_to_blocks(sel.reshape(s, cap, 9), nbb, 63)
-    fb = _pad_to_blocks(feats.reshape(s, cap, cin), nbb, 0)
+    capp, (gt, r, se, fb) = _pad_tables(g, ranks, sel, cap, s,
+                                        extra=(feats,))
     do, dw = pl.pallas_call(
-        functools.partial(_bwd_kernel, cap=cap, cin=cin, cout=cout,
+        functools.partial(_bwd_kernel, capp=capp, cin=cin, cout=cout,
                           acc_dtype=jnp.float32),
-        grid=(s, nbb // BLOCK),
+        grid=(s,),
         in_specs=[
-            pl.BlockSpec((1, cap, cout), lambda i, b: (i, 0, 0),
+            pl.BlockSpec((1, capp, cout), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK, 9), lambda i, b: (i, b, 0),
+            pl.BlockSpec((1, capp, 9), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK, 9), lambda i, b: (i, b, 0),
+            pl.BlockSpec((1, capp, 9), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((27 * cout, cin), lambda i, b: (0, 0),
+            pl.BlockSpec((27 * cout, cin), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK, cin), lambda i, b: (i, b, 0),
+            pl.BlockSpec((1, capp, cin), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, BLOCK, cin), lambda i, b: (i, b, 0),
+            pl.BlockSpec((1, capp, cin), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * cin, 3 * cout), lambda i, b: (0, 0),
+            pl.BlockSpec((9 * cin, 3 * cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((s, nbb, cin), g.dtype),
+            jax.ShapeDtypeStruct((s, capp, cin), g.dtype),
             jax.ShapeDtypeStruct((9 * cin, 3 * cout), jnp.float32),
         ),
         interpret=interpret,
@@ -210,7 +209,11 @@ def _bwd_call(g, ranks, sel, wt2d, feats, *, cap, s, interpret=False):
     return do[:, :cap].reshape(s * cap, cin), dw
 
 
-_INTERPRET = False  # flipped by tests on CPU
+_INTERPRET = False  # tests force True; CPU auto-detects (no Mosaic there)
+
+
+def _interp() -> bool:
+    return _INTERPRET or jax.default_backend() == "cpu"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -219,7 +222,7 @@ def _conv_pallas(feats, weight, ranks, sel, cap, s):
     cout = weight.shape[2]
     w2d = weight.reshape(27 * cin, cout).astype(feats.dtype)
     return _fwd_call(feats, ranks, sel, w2d, cap=cap, s=s,
-                     interpret=_INTERPRET)
+                     interpret=_interp())
 
 
 def _conv_pallas_fwd(feats, weight, ranks, sel, cap, s):
@@ -235,7 +238,7 @@ def _conv_pallas_bwd(cap, s, res, g):
     wt = jnp.transpose(weight[::-1], (0, 2, 1)).reshape(
         k * cout, cin).astype(g.dtype)
     d_feats, p = _bwd_call(g, ranks, sel, wt, feats, cap=cap, s=s,
-                           interpret=_INTERPRET)
+                           interpret=_interp())
     # p is (Cin, 27*Cout) with column blocks in MIRRORED offset order
     d_w = p.reshape(cin, k, cout)[:, ::-1, :].transpose(1, 0, 2)
     return (d_feats.astype(feats.dtype), d_w.astype(weight.dtype),
@@ -257,6 +260,33 @@ def submanifold_conv_wide_pallas(feats: jax.Array, ranks: jax.Array,
     ``sparse_conv.submanifold_conv_wide``.
     """
     return _conv_pallas(feats, weight, ranks, sel, cap, n_samples)
+
+
+def submanifold_conv_grouped(feats: jax.Array, ranks: jax.Array,
+                             sel: jax.Array, weight: jax.Array,
+                             groups) -> jax.Array:
+    """Fused submanifold conv over a GLOBAL flat plan made of uniform groups.
+
+    ``concat_plans`` stitches plan groups of different per-sample capacities
+    (the src+trg group at the point budget, the VGI cat group at its own)
+    into one flat table; within each group the layout is uniform
+    sample-major. ``groups`` is a static tuple of (n_samples, cap) in table
+    order; per group the flat rows are sliced out, ranks re-localised, and
+    the kernel applied, so every DMA'd VMEM table stays per-sample sized.
+    """
+    outs = []
+    row0 = 0
+    for (ns, cap) in groups:
+        rows = ns * cap
+        f = jax.lax.dynamic_slice_in_dim(feats, row0, rows, axis=0)
+        r = jax.lax.dynamic_slice_in_dim(ranks, row0 * 9, rows * 9, axis=0)
+        se = jax.lax.dynamic_slice_in_dim(sel, row0 * 9, rows * 9, axis=0)
+        # group ranks are global: subtract the group base + sample base
+        rl = r.reshape(ns, cap * 9) - (
+            row0 + jnp.arange(ns, dtype=r.dtype)[:, None] * cap)
+        outs.append(_conv_pallas(f, weight, rl.reshape(-1), se, cap, ns))
+        row0 += rows
+    return jnp.concatenate(outs, axis=0)
 
 
 def localize_plan(ranks: jax.Array, sel: jax.Array, cap: int,

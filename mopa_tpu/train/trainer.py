@@ -264,11 +264,13 @@ def _forward_2d(model, params, batch_stats, batch, rng, train, prefix=""):
 
 
 def _forward_3d(model, params, batch_stats, feats, plan, train,
-                proj_in=None, proj_xy=None, rng=None):
+                proj_in=None, proj_xy=None, rng=None, plan_groups=None):
     variables = {"params": params, "batch_stats": batch_stats}
     kwargs = {}
     if proj_in is not None:
         kwargs = {"proj_in": proj_in, "proj_xy": proj_xy}
+    if plan_groups is not None:
+        kwargs["plan_groups"] = plan_groups
     out, mutated = model.apply(variables, feats, plan, train=train,
                                mutable=["batch_stats"] if train else [],
                                rngs={"dropout": rng} if rng is not None
@@ -328,6 +330,8 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
     is_range = "SalsaNext" in cfg.MODEL_3D.TYPE
     use_host_plans = bool(cfg.TPU.get("HOST_PLANS", True)) if "TPU" in cfg \
         else False
+    use_pallas = (bool(cfg.TPU.get("PALLAS_CONV", False)) if "TPU" in cfg
+                  else False) and not is_range and "SCN" in cfg.MODEL_3D.TYPE
     assert not (is_range and (with_vgi or with_ema)), \
         "VGI/EMA are SCN-backbone paths (reference MoPA trains SCN only)"
     n_dev = 1 if mesh is None else mesh.shape["data"]
@@ -373,7 +377,9 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
                                state.batch_stats_2d, t2d, rng, train=False)
         out3d, _ = _forward_3d(models.model_3d, state.ema_params_3d,
                                state.batch_stats_3d, batch_trg["ori_feats"],
-                               plan, train=False)
+                               plan, train=False,
+                               plan_groups=((b, tuple(_capacities(cfg, p))),)
+                               if use_pallas else None)
         probs_2d = jax.nn.softmax(out2d["seg_logit"], axis=-1)
         probs_3d = jax.nn.softmax(out3d["seg_logit"], axis=-1)
         valid_flat = ori_valid.reshape(-1)
@@ -467,10 +473,17 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
             if cat is not None:
                 feats_all.append(cat["feats"])
             feats_all = jnp.concatenate(feats_all)
+            groups3 = None
+            if use_pallas:
+                groups3 = ((2 * b, tuple(_capacities(cfg, p))),)
+                if cat is not None:
+                    n_cat = cat["valid"].shape[0] // b
+                    groups3 += ((b, tuple(_capacities(cfg, n_cat))),)
             out3d, mut3d = models.model_3d.apply(
                 {"params": params_3d, "batch_stats": bs3d},
                 feats_all, plan, train=True, n_domains=n_dom3,
-                rngs={"dropout": rng}, mutable=["batch_stats"])
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+                plan_groups=groups3)
             bs3d = mut3d["batch_stats"]
             src_3d = {k: v[:npnt] for k, v in out3d.items()}
             trg_3d = {k: v[npnt:2 * npnt] for k, v in out3d.items()}

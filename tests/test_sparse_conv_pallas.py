@@ -60,6 +60,49 @@ def test_forward_matches_wide(cin, cout):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_unet_with_plan_groups_matches():
+    """Full SparseUNet fwd+grad: plan_groups (Pallas route) vs XLA route."""
+    from mopa_tpu.models import scn_unet
+
+    rng = np.random.default_rng(2)
+    s, p, levels = 2, 400, 3
+    caps = scn_unet.capacity_schedule(p, levels)
+    coords = rng.integers(0, 40, size=(s, p, 3)).astype(np.int32)
+    valid = np.ones((s, p), bool)
+    valid[:, int(p * 0.9):] = False
+    plan = scn_unet.build_unet_plan_batched(
+        jnp.asarray(coords), jnp.asarray(valid), levels, capacities=caps)
+    model = scn_unet.SparseUNet(in_channels=1, m=8, num_planes=levels)
+    feats = jnp.ones((s * p, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), feats, plan)
+    groups = ((s, tuple(caps)),)
+
+    def run(plan_groups):
+        def loss(params):
+            out = model.apply({"params": params,
+                               "batch_stats": variables["batch_stats"]},
+                              feats, plan, train=True,
+                              plan_groups=plan_groups,
+                              mutable=["batch_stats"])[0]
+            return jnp.sum(out * out), out
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"])
+        return l, out, g
+
+    l_ref, out_ref, g_ref = run(None)
+    l_pal, out_pal, g_pal = run(groups)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-4)
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    flat_p = jax.tree_util.tree_leaves(g_pal)
+    for a, b in zip(flat_p, flat_r):
+        b = np.asarray(b)
+        # atol scales with the leaf's magnitude: fp32 accumulation order
+        # differs between the Pallas per-column GEMMs and the XLA wide GEMM
+        np.testing.assert_allclose(np.asarray(a), b, rtol=2e-3,
+                                   atol=2e-3 * max(1.0, np.abs(b).max()))
+
+
 def test_vjp_matches_wide():
     rng = np.random.default_rng(1)
     s, p, cap = 2, 500, 512

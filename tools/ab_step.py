@@ -91,6 +91,20 @@ def main():
 
     if "full" in probes:
         variant("step: full MoPA")
+    if "pallas" in probes:
+        # PALLAS_CONV=on vs the XLA wide path, in-process back to back.
+        # Mosaic on this stack cannot lower table gathers (see
+        # ops/sparse_conv_pallas.py) — report and continue if it refuses.
+        try:
+            cp = c.clone()
+            cp.TPU.PALLAS_CONV = True
+            ma, _ = trainer_mod.build_models(cp, output_all=True)
+            sa = trainer_mod.create_train_state(cp, ma, src)
+            run_step(trainer_mod.make_train_step(cp, ma, with_pl=True,
+                                                 with_ema=False), sa,
+                     "step: full MoPA (pallas conv)")
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            print("pallas probe failed:", str(e).splitlines()[0], flush=True)
     if "nosam" in probes:
         variant("step: no sam", lambda_sam_cons=0.0)
     if "novgi" in probes:
