@@ -157,18 +157,22 @@ def main():
     chained(g2d, lambda out, args: (args[0] + 0 * out[0, 0, 0],),
             (src["img"],), name="2D fwd+bwd (wrt img)")
 
-    # 5. VGI transform, chained through points
-    from mopa_tpu.ops import mixmatch
+    # 5. VGI transform, chained through points (skipped when the loader
+    # strips EMA inputs pre-EMA — round-5 `want_ema=False` wire — or runs
+    # VGI host-side)
+    if "ori_points" in trg:
+        from mopa_tpu.ops import mixmatch
 
-    vgi_fn = jax.jit(lambda pts, key: mixmatch.vgi_insert_batch(
-        c, dict(trg, ori_points=pts), None, key))
+        vgi_fn = jax.jit(lambda pts, key: mixmatch.vgi_insert_batch(
+            c, dict(trg, ori_points=pts), None, key))
 
-    def vgi_feedback(out, args):
-        pts, key = args
-        return (pts + 0 * out["inserted"][0].astype(jnp.float32), key)
+        def vgi_feedback(out, args):
+            pts, key = args
+            return (pts + 0 * out["inserted"][0].astype(jnp.float32), key)
 
-    chained(vgi_fn, vgi_feedback, (trg["ori_points"], jax.random.PRNGKey(0)),
-            name="VGI transform")
+        chained(vgi_fn, vgi_feedback,
+                (trg["ori_points"], jax.random.PRNGKey(0)),
+                name="VGI transform")
 
     # 6. full steps (state chaining is inherent)
     def run_step(step_fn, st, n=10, name=""):
