@@ -197,9 +197,13 @@ def main():
 
     # NOTE: on the axon backend block_until_ready resolves at schedule time,
     # not completion — a tiny scalar fetch is the only reliable execution
-    # barrier, and the chained donated state serialises the steps on real
-    # device time.
+    # barrier. Chained donated dispatches additionally pay a per-hop tunnel
+    # cost (rtt + carry serialisation; a 32 MB-carry matmul chain reads
+    # 55 ms/hop when the matmul is <1 ms), so the honest DEVICE-RESIDENT
+    # rate runs n steps inside ONE dispatch (trainer scan_steps mode) and
+    # divides; the chained number is kept alongside for transparency.
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
+    use_scan = bool(int(os.environ.get("BENCH_SCAN", 1)))
 
     def measure(step, state, s, t):
         state, metrics = step(state, s, t)  # compile + warmup
@@ -215,6 +219,23 @@ def main():
     RESULT["stage"] = "value"
     step = trainer_mod.make_train_step(c, models, with_pl=True, with_ema=False)
     scans_per_sec, state = measure(step, state, src, trg)
+    RESULT["value_dispatch_chained"] = round(scans_per_sec, 3)
+    if use_scan:
+        try:
+            step_scan = trainer_mod.make_train_step(
+                c, models, with_pl=True, with_ema=False, scan_steps=n_iters)
+            state, metrics = step_scan(state, src, trg)  # compile + warm
+            _ = float(np.asarray(metrics["total_loss"]))
+            t0 = time.time()
+            state, metrics = step_scan(state, src, trg)
+            _ = float(np.asarray(metrics["total_loss"]))
+            scans_per_sec = n_iters * c.TRAIN.BATCH_SIZE / (time.time() - t0)
+            RESULT["value_provenance"] = (
+                f"{n_iters} steps inside one dispatch (lax.fori_loop); "
+                "device-resident rate free of per-dispatch tunnel overhead")
+        except Exception as e:  # compile-service refusal: keep the artifact
+            use_scan = False
+            RESULT["value_scan_error"] = str(e).splitlines()[0][:200]
     RESULT["value"] = round(scans_per_sec, 3)
     RESULT["vs_baseline"] = round(scans_per_sec / REF_GPU_SCANS_PER_SEC, 3)
     emit()
@@ -254,6 +275,30 @@ def main():
                                                    reuse_step=step)
             ema_scans_per_sec, state = measure(step_ema, state, src_full,
                                                trg_full)
+            RESULT["value_ema_phase_dispatch_chained"] = round(
+                ema_scans_per_sec, 3)
+            if use_scan:
+                # EMA step = teacher program + the SAME student step, run
+                # serially (trainer.step_with_teacher). The student rate is
+                # the scanned stage-1 number; the teacher program's outputs
+                # are two small int16 label arrays, so chained teacher
+                # dispatches are nearly carry-free — time it alone and add.
+                from mopa_tpu.train.common import (EMA_ONLY_KEYS,
+                                                   EMA_ONLY_PREFIX)
+                teacher_in = {k: v for k, v in trg_full.items()
+                              if k in EMA_ONLY_KEYS
+                              or k.startswith(EMA_ONLY_PREFIX)}
+                tj = step_ema.teacher_jit
+                pl2, _ = tj(state, teacher_in)  # compile + warm
+                _ = float(np.asarray(pl2[:1, :1]).ravel()[0])
+                t0 = time.time()
+                for _ in range(n_iters):
+                    pl2, _ = tj(state, teacher_in)
+                _ = float(np.asarray(pl2[:1, :1]).ravel()[0])
+                t_teacher = (time.time() - t0) / n_iters
+                RESULT["teacher_ms_per_step"] = round(t_teacher * 1e3, 1)
+                b = c.TRAIN.BATCH_SIZE
+                ema_scans_per_sec = b / (b / scans_per_sec + t_teacher)
             RESULT["value_ema_phase"] = round(ema_scans_per_sec, 3)
             # published recipe: ema_start_iter 60k of 100k iterations
             RESULT["value_weighted_100k"] = round(

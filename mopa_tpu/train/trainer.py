@@ -279,8 +279,15 @@ def _forward_3d(model, params, batch_stats, feats, plan, train,
 
 
 def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
-                    mesh=None, with_mopa: bool = True, reuse_step=None):
+                    mesh=None, with_mopa: bool = True, reuse_step=None,
+                    scan_steps=None):
     """Build the jitted per-iteration step for one training phase.
+
+    ``scan_steps=n`` returns a program that runs n consecutive steps inside
+    ONE dispatch (``lax.fori_loop`` over the step body; metrics of the last
+    step returned). Measurement-only: on the axon tunnel each dispatch pays
+    a per-hop link cost (rtt + carry serialisation), so per-step device time
+    is only observable as (one n-step dispatch) / n. Single-device only.
 
     Static phase flags (trace-time): ``with_pl`` — pseudo-label CE on target;
     ``with_ema`` — regenerate pseudo-labels with the EMA teacher before the
@@ -716,8 +723,21 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
     if reuse_step is not None:
         step_jit = reuse_step
     elif mesh is None:
-        step_jit = jax.jit(train_step, donate_argnums=(0,))
+        if scan_steps is not None and scan_steps > 1:
+            n_scan = int(scan_steps)
+
+            def scan_body(state, batch_src, batch_trg):
+                st = jax.lax.fori_loop(
+                    0, n_scan - 1,
+                    lambda i, s: train_step(s, batch_src, batch_trg)[0],
+                    state)
+                return train_step(st, batch_src, batch_trg)
+
+            step_jit = jax.jit(scan_body, donate_argnums=(0,))
+        else:
+            step_jit = jax.jit(train_step, donate_argnums=(0,))
     else:
+        assert scan_steps is None, "scan_steps is a single-device mode"
         from jax import shard_map
 
         batch_specs = P("data")
@@ -765,6 +785,10 @@ def make_train_step(cfg, models: Models, *, with_pl: bool, with_ema: bool,
         src = {k: v for k, v in batch_src.items() if not _is_ema_key(k)}
         return step_jit(state, src, trg)
 
+    # expose the two device programs for measurement (bench.py times the
+    # teacher dispatch separately from the scanned student step)
+    step_with_teacher.teacher_jit = teacher_jit
+    step_with_teacher.student_jit = step_jit
     return step_with_teacher
 
 

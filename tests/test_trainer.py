@@ -132,3 +132,36 @@ def test_checkpoint_adapter_roundtrip(tmp_path):
     w0 = jax.tree_util.tree_leaves(state.params_2d)[0]
     w1 = jax.tree_util.tree_leaves(holder["s"].params_2d)[0]
     np.testing.assert_allclose(np.asarray(w0), np.asarray(w1))
+
+
+@pytest.mark.slow
+def test_scan_steps_matches_chained_steps():
+    """scan_steps=n (one dispatch, fori_loop body — bench.py's device-
+    resident measurement mode) must be step-for-step equivalent to n
+    chained dispatches of the plain step."""
+    c = tiny_cfg()
+    models, _ = trainer.build_models(c, output_all=False)
+    src_it, trg_it = _loaders(c)
+    bs = _device_batch(next(src_it))
+    bt = _device_batch(next(trg_it))
+
+    state = trainer.create_train_state(c, models, bs, seed=7)
+    step = trainer.make_train_step(c, models, with_pl=False, with_ema=False)
+    st_ref = state
+    for _ in range(3):
+        st_ref, m_ref = step(st_ref, bs, bt)
+
+    state2 = trainer.create_train_state(c, models, bs, seed=7)
+    step3 = trainer.make_train_step(c, models, with_pl=False, with_ema=False,
+                                    scan_steps=3)
+    st_scan, m_scan = step3(state2, bs, bt)
+
+    assert int(st_scan.step) == int(st_ref.step) == 3
+    # distinct XLA programs (fori_loop body vs standalone step) fuse and
+    # order f32 reductions differently — equivalence is semantic, not bit
+    np.testing.assert_allclose(float(m_scan["total_loss"]),
+                               float(m_ref["total_loss"]), rtol=5e-4)
+    w_ref = jax.tree_util.tree_leaves(st_ref.params_3d)[0]
+    w_scan = jax.tree_util.tree_leaves(st_scan.params_3d)[0]
+    np.testing.assert_allclose(np.asarray(w_scan), np.asarray(w_ref),
+                               rtol=1e-3, atol=1e-5)

@@ -76,12 +76,23 @@ def run(n, levels, xla_only=False):
     rng = np.random.default_rng(1)
 
     def timed(fn, *a):
-        jf = jax.jit(fn)
-        out = jax.block_until_ready(jf(*a))
+        """In-jit loop timing: on axon, block_until_ready resolves at
+        schedule time, eager ops cost ~2 ms/MB, and even CHAINING a large
+        carry between separate dispatches pays a per-hop link cost — so the
+        only trustworthy device time is ONE dispatch running ``fn`` n times
+        inside ``lax.fori_loop`` (output feeds the next input, so XLA can't
+        elide iterations) returning one scalar."""
+
+        @jax.jit
+        def loop(*args):
+            first = jax.lax.fori_loop(
+                0, n, lambda i, c: fn(c, *args[1:]), args[0])
+            return jnp.sum(first.astype(jnp.float32).ravel()[:1])
+
+        _ = float(loop(*a))  # compile + warm
         t0 = time.time()
-        for _ in range(n):
-            out = jf(*a)
-        jax.block_until_ready(out)
+        s = float(loop(*a))
+        assert np.isfinite(s)
         return (time.time() - t0) / n * 1000
 
     for l in levels:
@@ -97,8 +108,10 @@ def run(n, levels, xla_only=False):
         def g_xla(x, wt):
             return jnp.sum(f_xla(x, wt).astype(jnp.float32) ** 2)
 
-        t_fx = timed(f_xla, feats, w)
-        t_gx = timed(jax.grad(g_xla, argnums=(0, 1)), feats, w)
+        t_fx = timed(lambda x, wt: f_xla(x, wt) * 0.04, feats, w)
+        t_gx = timed(
+            lambda x, wt: x - 1e-12 * jax.grad(g_xla)(x, wt).astype(x.dtype),
+            feats, w)
         line = (f"L{l} cap={cap:6d} C={c:4d} rows={S*cap:7d}  "
                 f"fwd xla {t_fx:7.2f}  fwd+bwd xla {t_gx:7.2f}")
 
@@ -116,8 +129,12 @@ def run(n, levels, xla_only=False):
             o_p = jax.jit(f_pal)(feats, w)
             err = float(jnp.max(jnp.abs(o_x.astype(jnp.float32)
                                         - o_p.astype(jnp.float32))))
-            t_fp = timed(f_pal, feats, w)
-            t_gp = timed(jax.grad(g_pal, argnums=(0, 1)), feats, w)
+
+            t_fp = timed(lambda x, wt: f_pal(x, wt) * 0.04, feats, w)
+            t_gp = timed(
+                lambda x, wt: x - 1e-12
+                * jax.grad(g_pal)(x, wt).astype(x.dtype),
+                feats, w)
             line += f"  pal fwd {t_fp:7.2f} fwd+bwd {t_gp:7.2f} err {err:.2e}"
         print(line, flush=True)
     print("done", flush=True)
@@ -138,17 +155,22 @@ def gather_probe(n):
         tab = jnp.asarray(rng.normal(size=(rows, width)), jnp.bfloat16)
         idx = jnp.asarray(rng.integers(0, rows, size=(rows * 8,)), jnp.int32)
 
-        def f(t, i):
-            return jnp.take(t, i, axis=0)
+        # in-jit loop: the gather output perturbs the table so iterations
+        # can't be elided; one scalar leaves the device (see timed())
+        @jax.jit
+        def loop(t, i):
+            def body(_, t):
+                g = jnp.take(t, i, axis=0)
+                return t + 1e-9 * g[: t.shape[0]]
 
-        jf = jax.jit(f)
-        out = jax.block_until_ready(jf(tab, idx))
+            return jnp.sum(jax.lax.fori_loop(0, n, body, t)
+                           .astype(jnp.float32).ravel()[:1])
+
+        _ = float(loop(tab, idx))
         t0 = time.time()
-        for _ in range(n):
-            out = jf(tab, idx)
-        jax.block_until_ready(out)
+        _ = float(loop(tab, idx))
         dt = (time.time() - t0) / n
-        gb = out.size * 2 / 1e9
+        gb = rows * 8 * width * 2 / 1e9
         print(f"gather rows={rows:7d} w={width:4d} -> {rows*8:8d} rows "
               f"{dt*1000:7.2f} ms  {rows*8/dt/1e6:7.1f} Mrows/s "
               f"{gb/dt:6.1f} GB/s", flush=True)
