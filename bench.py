@@ -197,13 +197,16 @@ def main():
 
     # NOTE: on the axon backend block_until_ready resolves at schedule time,
     # not completion — a tiny scalar fetch is the only reliable execution
-    # barrier. Chained donated dispatches additionally pay a per-hop tunnel
-    # cost (rtt + carry serialisation; a 32 MB-carry matmul chain reads
-    # 55 ms/hop when the matmul is <1 ms), so the honest DEVICE-RESIDENT
-    # rate runs n steps inside ONE dispatch (trainer scan_steps mode) and
-    # divides; the chained number is kept alongside for transparency.
+    # barrier. UNDONATED chained dispatches pay a per-hop carry cost (a
+    # 32 MB-carry matmul chain reads 54.7 ms/hop when the matmul is 2.1 ms)
+    # — but DONATION removes it entirely (the same chain donated: 2.36
+    # ms/hop, equal to running the loop inside one dispatch), and the train
+    # step donates its state, so the chained rate below IS the device rate.
+    # BENCH_SCAN=1 cross-checks with n steps inside ONE dispatch (trainer
+    # scan_steps mode); off by default because the remote compile helper
+    # currently 500s on the looped full-step program (error recorded).
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
-    use_scan = bool(int(os.environ.get("BENCH_SCAN", 1)))
+    use_scan = bool(int(os.environ.get("BENCH_SCAN", 0)))
 
     def measure(step, state, s, t):
         state, metrics = step(state, s, t)  # compile + warmup

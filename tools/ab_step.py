@@ -70,14 +70,17 @@ def main():
     trg = device_batch(trg_host, strip_ema=True)
 
     def run_step(step_fn, st, name):
-        """step_fn runs args.n steps in ONE dispatch (trainer scan_steps
-        mode): chained per-step dispatches pay a per-hop tunnel cost on
-        axon (rtt + state-carry serialisation), so only an in-dispatch
-        loop yields clean absolute per-variant times."""
-        st, m = step_fn(st, src, trg)  # compile + warm (runs n steps)
+        """Chained DONATED dispatches are clean on axon: donation removes
+        the per-hop carry serialisation entirely (a donated 32 MB-carry
+        matmul chain reads 2.36 ms/hop vs 54.7 undonated vs 2.1 with the
+        loop inside the dispatch), and the train step donates its state.
+        The in-dispatch scan_steps alternative is preferable in principle
+        but the remote compile helper 500s on the looped step program."""
+        st, m = step_fn(st, src, trg)
         _ = float(np.asarray(m["total_loss"]))
         t0 = time.time()
-        st, m = step_fn(st, src, trg)
+        for _ in range(args.n):
+            st, m = step_fn(st, src, trg)
         _ = float(np.asarray(m["total_loss"]))
         print("{:30s} {:8.1f} ms".format(name, (time.time() - t0) / args.n
                                          * 1000), flush=True)
@@ -90,8 +93,7 @@ def main():
         ma, _ = trainer_mod.build_models(ca, output_all=out_all)
         sa = trainer_mod.create_train_state(ca, ma, src)
         run_step(trainer_mod.make_train_step(ca, ma, with_pl=True,
-                                             with_ema=False,
-                                             scan_steps=args.n), sa, name)
+                                             with_ema=False), sa, name)
 
     if "full" in probes:
         variant("step: full MoPA")
@@ -105,8 +107,7 @@ def main():
             ma, _ = trainer_mod.build_models(cp, output_all=True)
             sa = trainer_mod.create_train_state(cp, ma, src)
             run_step(trainer_mod.make_train_step(cp, ma, with_pl=True,
-                                                 with_ema=False,
-                                                 scan_steps=args.n), sa,
+                                                 with_ema=False), sa,
                      "step: full MoPA (pallas conv)")
         except Exception as e:  # pragma: no cover - hardware-dependent
             print("pallas probe failed:", str(e).splitlines()[0], flush=True)

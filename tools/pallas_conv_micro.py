@@ -97,21 +97,26 @@ def run(n, levels, xla_only=False):
 
     for l in levels:
         cap, c = caps[l], planes[l]
+        # plan arrays ride as ARGUMENTS, not closures: closed-over jnp
+        # arrays become embedded program constants, and shipping multi-MB
+        # constants to the remote compile service dominates compile time
         ranks = jnp.asarray(d[f"ranks{l}"])
         sel = jnp.asarray(d[f"sel{l}"])
         feats = jnp.asarray(rng.normal(size=(S * cap, c)), jnp.bfloat16)
         w = jnp.asarray(rng.normal(size=(27, c, c)) * 0.05, jnp.float32)
 
-        def f_xla(x, wt):
-            return sc.submanifold_conv_wide(x, sc.WidePlan(ranks, sel), wt)
+        def f_xla(x, wt, r, s):
+            return sc.submanifold_conv_wide(x, sc.WidePlan(r, s), wt)
 
-        def g_xla(x, wt):
-            return jnp.sum(f_xla(x, wt).astype(jnp.float32) ** 2)
+        def g_xla(x, wt, r, s):
+            return jnp.sum(f_xla(x, wt, r, s).astype(jnp.float32) ** 2)
 
-        t_fx = timed(lambda x, wt: f_xla(x, wt) * 0.04, feats, w)
+        t_fx = timed(lambda x, wt, r, s: f_xla(x, wt, r, s) * 0.04,
+                     feats, w, ranks, sel)
         t_gx = timed(
-            lambda x, wt: x - 1e-12 * jax.grad(g_xla)(x, wt).astype(x.dtype),
-            feats, w)
+            lambda x, wt, r, s: x - 1e-12
+            * jax.grad(g_xla)(x, wt, r, s).astype(x.dtype),
+            feats, w, ranks, sel)
         line = (f"L{l} cap={cap:6d} C={c:4d} rows={S*cap:7d}  "
                 f"fwd xla {t_fx:7.2f}  fwd+bwd xla {t_gx:7.2f}")
 
@@ -125,7 +130,7 @@ def run(n, levels, xla_only=False):
             def g_pal(x, wt):
                 return jnp.sum(f_pal(x, wt).astype(jnp.float32) ** 2)
 
-            o_x = jax.jit(f_xla)(feats, w)
+            o_x = jax.jit(f_xla)(feats, w, ranks, sel)
             o_p = jax.jit(f_pal)(feats, w)
             err = float(jnp.max(jnp.abs(o_x.astype(jnp.float32)
                                         - o_p.astype(jnp.float32))))

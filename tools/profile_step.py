@@ -5,6 +5,15 @@ Methodology note: on the axon backend ``block_until_ready`` resolves at
 schedule time, so every measurement chains each iteration's input on the
 previous iteration's output and ends with a tiny scalar fetch — the only
 reliable execution barrier.
+
+CAVEAT (round 5): chained dispatches additionally pay a per-hop tunnel cost
+that grows with the carry size (~2 ms/MB; even small carries pay the ~1 ms
+rtt), so the ABSOLUTE times printed here are upper bounds inflated by the
+harness — the 2D fwd+bwd recorded 90 ms here measures 45 ms with the loop
+inside one dispatch. Decision-grade numbers come from tools/ab_step.py
+(scan_steps mode) and tools/{conv2d,pallas_conv}_micro.py (lax.fori_loop
+probes); this tool remains useful for RELATIVE in-process comparisons of
+small-carry probes.
 """
 
 import os
