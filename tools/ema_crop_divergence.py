@@ -126,6 +126,7 @@ def main():
     c0 = (FULL_W - CROP_W) // 2               # centred horizontally
     flips, probs_delta, total = 0, 0.0, 0
     border_flips, border_total = 0, 0
+    max_delta = 0.0
     for i in range(n_eval):
         s = eval_ds[i]
         ii_full = s["img_indices"].astype(np.int32)
@@ -153,6 +154,7 @@ def main():
         flip = pf.argmax(-1) != pc.argmax(-1)
         flips += int(flip.sum())
         probs_delta += float(np.abs(pf - pc).sum())
+        max_delta = max(max_delta, float(np.abs(pf - pc).max()))
         total += n
         # border band: within 16 px (one /16 stride) of the crop edge
         db = np.minimum.reduce([
@@ -170,6 +172,10 @@ def main():
         "n_points": total,
         "label_flip_rate": round(flips / max(total, 1), 5),
         "mean_abs_prob_delta": round(probs_delta / max(total, 1) / ncls, 6),
+        # unrounded: proves the two inference paths are NOT comparing
+        # identical arrays when the mean rounds to zero
+        "max_abs_prob_delta": float(max_delta),
+        "border16_points": border_total,
         "border16_flip_rate": round(border_flips / max(border_total, 1), 5),
         "interior_flip_rate": round(
             (flips - border_flips) / max(total - border_total, 1), 5),
