@@ -399,8 +399,84 @@ def _drop_centre_col(plan: WidePlan, v: int):
     return ranks8, sel8, s[:, 4]
 
 
+# XLA's row-gather rate on this TPU is ~400 M rows/s for rows NARROWER than
+# 128 lanes and cliffs ~5x to ~64-81 M rows/s at >= 128 lanes (measured,
+# GATHER_FLOOR_r05.json; a cliff, not a per-vreg slope). Gathers whose rows
+# would cross the cliff are split into sub-limit lane chunks that are
+# consumed SEPARATELY (per-dz-subrow masked adds + per-slot GEMMs summed in
+# f32) — concatenating the chunk gathers back together lets XLA re-fuse them
+# into one slow wide gather (measured: chunked+concat is SLOWER than
+# monolithic, chunked+separate-consumers is ~2.8x faster). Set
+# MOPA_CHUNK_GATHER=0 to force the monolithic path (A/B lever).
+import os as _os
+
+_GATHER_LANE_LIMIT = 112
+_CHUNK_GATHER = _os.environ.get("MOPA_CHUNK_GATHER", "1") != "0"
+
+
+def _wide_conv_chunked(x, weight, ranks8, ts, sel_c, v):
+    """dot(aligned(x), weight) without materialising the (V, 27C) aligned
+    array and with every gather row under the 128-lane cliff.
+
+    x: (V, C) table; weight: (27, C, D) in kernel_offsets order; ranks8:
+    (V*8,) gathered-column ranks; ts: per-row dz-slot codes (t0, t1, t2);
+    sel_c: (V,) centre-column codes. Returns (V, D) f32-accumulated.
+    The per-slot GEMM reshape works because (V*8, cw) rows are v-major with
+    the 8 gathered columns consecutive: A_t.reshape(v, 8*cw) lays out
+    [col0 | col1 | ... | col7] exactly matching the stacked per-column
+    weight rows."""
+    c = x.shape[1]
+    d = weight.shape[2]
+    dt = x.dtype
+    idx = jnp.clip(ranks8, 0, v - 1)
+    fp = jnp.concatenate([x, jnp.zeros((2, c), dt)])
+    # gathered col position p -> kernel column (p < 4 ? p : p + 1)
+    wcols = jnp.concatenate([weight[:4 * 3].reshape(4, 3, c, d),
+                             weight[5 * 3:].reshape(4, 3, c, d)], axis=0)
+    nsub = -(-c // _GATHER_LANE_LIMIT)
+    bounds = [round(i * c / nsub) for i in range(nsub + 1)]
+    out = jnp.zeros((v, d), jnp.float32)
+    for s in range(nsub):
+        a, b = bounds[s], bounds[s + 1]
+        fs = fp[:, a:b]
+        g = [fs[idx + j] for j in range(3)]      # 3 sub-limit row gathers
+        for t in range(3):
+            acc = None
+            for j in range(t + 1):               # code t_j >= j always
+                m = (ts[j] == t)[:, None].astype(dt)
+                acc = m * g[j] if acc is None else acc + m * g[j]
+            A = acc.reshape(v, 8 * (b - a))
+            wt = wcols[:, t, a:b, :].reshape(8 * (b - a), d).astype(dt)
+            out = out + jnp.dot(A, wt, preferred_element_type=jnp.float32)
+    # centre column (kernel col 4): three C-wide masked shifts, no gathers
+    tc0 = sel_c & 3
+    e_prev = (tc0 == 0)[:, None].astype(dt)
+    e_mid = (tc0 < 2)[:, None].astype(dt)
+    e_next = ((((sel_c >> 2) & 3) == 2)
+              | (((sel_c >> 4) & 3) == 2))[:, None].astype(dt)
+    prev = jnp.concatenate([jnp.zeros((1, c), dt), x[:v - 1]])
+    nxt = fp[1:v + 1]
+    wc = weight[4 * 3:5 * 3]                     # (3, C, D)
+    for blk, wci in ((e_prev * prev, wc[0]), (e_mid * x[:v], wc[1]),
+                     (e_next * nxt, wc[2])):
+        out = out + jnp.dot(blk, wci.astype(dt),
+                            preferred_element_type=jnp.float32)
+    return out
+
+
+def _wide_codes(plan, v):
+    ranks8, sel8, sel_c = _drop_centre_col(plan, v)
+    ts = (sel8 & 3, (sel8 >> 2) & 3, (sel8 >> 4) & 3)
+    return ranks8, ts, sel_c
+
+
 def _wide_fwd_impl(feats, weight, plan):
     k, cin, cout = weight.shape
+    if _CHUNK_GATHER and 3 * cin > 127:
+        v = plan.ranks.shape[0] // 9
+        ranks8, ts, sel_c = _wide_codes(plan, v)
+        out = _wide_conv_chunked(feats, weight, ranks8, ts, sel_c, v)
+        return out.astype(feats.dtype), None
     aligned = _wide_gather_align(feats, plan)
     w2d = weight.reshape(k * cin, cout).astype(feats.dtype)
     return jnp.dot(aligned, w2d, preferred_element_type=feats.dtype), aligned
@@ -435,6 +511,60 @@ def _wide_bwd(res, g):
     feats, weight, ranks, sel = res
     k, cin, cout = weight.shape
     g = g.astype(feats.dtype)
+    if _CHUNK_GATHER and 3 * cout > 127 and cout <= _GATHER_LANE_LIMIT:
+        # chunked twin of the monolithic path below: the SAME three
+        # sub-limit cotangent gathers feed both d_feats (per-slot GEMMs)
+        # and d_w (p assembled from small per-slot GEMM outputs) — one
+        # window gather total, every row under the 128-lane cliff.
+        v = ranks.shape[0] // 9
+        ranks8, ts, sel_c = _wide_codes(WidePlan(ranks, sel), v)
+        idx = jnp.clip(ranks8, 0, v - 1)
+        dt = g.dtype
+        fp = jnp.concatenate([g, jnp.zeros((2, cout), dt)])
+        gs = [fp[idx + j] for j in range(3)]           # (V*8, cout) each
+        w_bwd = jnp.transpose(weight[::-1], (0, 2, 1))  # (27, cout, cin)
+        wcols = jnp.concatenate([w_bwd[:12].reshape(4, 3, cout, cin),
+                                 w_bwd[15:].reshape(4, 3, cout, cin)],
+                                axis=0)
+        d_feats = jnp.zeros((v, cin), jnp.float32)
+        p_t = []
+        for t in range(3):
+            acc = None
+            for j in range(t + 1):
+                m = (ts[j] == t)[:, None].astype(dt)
+                acc = m * gs[j] if acc is None else acc + m * gs[j]
+            a_t = acc.reshape(v, 8 * cout)
+            wt = wcols[:, t].reshape(8 * cout, cin).astype(dt)
+            d_feats = d_feats + jnp.dot(a_t, wt,
+                                        preferred_element_type=jnp.float32)
+            p_t.append(jnp.dot(feats.T, a_t,
+                               preferred_element_type=jnp.float32))
+        # centre column: masked shifts of g, no gathers
+        tc0 = sel_c & 3
+        e_prev = (tc0 == 0)[:, None].astype(dt)
+        e_mid = (tc0 < 2)[:, None].astype(dt)
+        e_next = ((((sel_c >> 2) & 3) == 2)
+                  | (((sel_c >> 4) & 3) == 2))[:, None].astype(dt)
+        prev = jnp.concatenate([jnp.zeros((1, cout), dt), g[:v - 1]])
+        centre_g = jnp.concatenate([e_prev * prev, e_mid * g[:v],
+                                    e_next * fp[1:v + 1]], axis=1)
+        d_feats = d_feats + jnp.dot(
+            centre_g, w_bwd[12:15].reshape(3 * cout, cin).astype(dt),
+            preferred_element_type=jnp.float32)
+        p_c = jnp.dot(feats.T, centre_g, preferred_element_type=jnp.float32)
+        # assemble p (cin, 27*cout) in aligned-block order b = 3*kc + t
+        pieces = []
+        for kc in range(9):
+            for t in range(3):
+                if kc == 4:
+                    pieces.append(p_c[:, t * cout:(t + 1) * cout])
+                else:
+                    c = kc if kc < 4 else kc - 1
+                    pieces.append(p_t[t][:, c * cout:(c + 1) * cout])
+        p = jnp.concatenate(pieces, axis=1)
+        d_w = p.reshape(cin, k, cout)[:, ::-1, :].transpose(1, 0, 2)
+        return (d_feats.astype(feats.dtype), d_w.astype(weight.dtype),
+                None, None)
     aligned_g = _wide_gather_align(g, WidePlan(ranks, sel))  # (V, 27*Cout)
     w_bwd = jnp.transpose(weight[::-1], (0, 2, 1)).reshape(k * cout, cin)
     d_feats = jnp.dot(aligned_g, w_bwd.astype(g.dtype),

@@ -399,3 +399,48 @@ def test_zdense_conv_matches_exact_neighbour_conv():
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gz[1]), np.asarray(gr[1]),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("cin,cout", [(48, 48), (64, 32), (130, 40),
+                                      (48, 120)])
+def test_wide_conv_chunked_matches_exact(cin, cout):
+    """The 128-lane-cliff chunked wide-conv path (3*cin or 3*cout >= 128:
+    per-dz-subrow sub-112-lane gathers + per-slot GEMMs summed in f32,
+    GATHER_FLOOR_r05.json) is numerically the exact neighbour conv, forward
+    and backward. Cases: chunked fwd+bwd (48,48); chunked fwd, monolithic
+    bwd (64,32); two sub-chunks per subrow (130,40); cout above the lane
+    limit falls back to the monolithic backward (48,120)."""
+    import mopa_tpu.ops.sparse_conv as sc_mod
+    assert sc_mod._CHUNK_GATHER  # default-on path under test
+    rng = np.random.default_rng(23)
+    coords, batch_idx, valid, feats = make_cloud(rng, n=120, scale=8, cin=cin)
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32) / cin
+
+    @jax.jit
+    def run(feats, w):
+        table, inverse, counts = voxel.voxelize(coords, batch_idx, valid)
+        vfeats = voxel.pool_features(feats, inverse, counts, table.capacity)
+        vfeats = jnp.where(table.valid_mask()[:, None], vfeats, 0.0)
+        nbr = sc.build_submanifold_plan(table)
+        wide = sc.build_wide_plan(table)
+
+        def loss_exact(f, w):
+            return jnp.sum(jnp.where(table.valid_mask()[:, None],
+                                     sc.submanifold_conv(f, nbr, w), 0.) ** 2)
+
+        def loss_wide(f, w):
+            return jnp.sum(jnp.where(
+                table.valid_mask()[:, None],
+                sc.submanifold_conv_wide(f, wide, w), 0.) ** 2)
+
+        o1 = sc.submanifold_conv(vfeats, nbr, w)
+        o2 = sc.submanifold_conv_wide(vfeats, wide, w)
+        g1 = jax.grad(loss_exact, argnums=(0, 1))(vfeats, w)
+        g2 = jax.grad(loss_wide, argnums=(0, 1))(vfeats, w)
+        return o1, o2, g1, g2, table.valid_mask()
+
+    o1, o2, (gf1, gw1), (gf2, gw2), mask = jax.tree_util.tree_map(
+        np.asarray, run(jnp.asarray(feats), jnp.asarray(w)))
+    np.testing.assert_allclose(o2[mask], o1[mask], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gf2[mask], gf1[mask], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(gw2, gw1, rtol=1e-3, atol=1e-4)
